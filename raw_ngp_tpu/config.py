@@ -1,0 +1,297 @@
+"""Typed, immutable configuration for raw_ngp_tpu.
+
+The reference threads a mutable ``argparse.Namespace`` through every class and
+rewrites it at runtime (reference: main.py:9-127, and §5.6 of SURVEY.md notes
+the latent AttributeError traps this causes). Here the static configuration is
+a frozen dataclass; runtime-mutable values (adaptive ray counts, exposure
+levels, scene metadata) live in explicit state objects
+(:class:`raw_ngp_tpu.data.scene.SceneMeta`, trainer state).
+
+Preset composition mirrors the reference CLI presets:
+  * ``lightstage`` — reference main.py:129-143
+  * ``O``          — occupancy-grid ("cuda ray" in the reference) mode,
+                     reference main.py:145-151
+  * ``O2``         — contracted proposal-network mode, reference main.py:153-158
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from dataclasses import dataclass, field, replace
+from typing import List, Optional, Tuple
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Field architecture (reference: nerf/network.py:37-72)."""
+
+    # hash grid (reference network.py:47-49, grid.py:103-146)
+    num_levels: int = 16
+    level_dim: int = 2
+    base_resolution: int = 16
+    log2_hashmap_size: int = 19
+    hashgrid_resolution: int = 2048   # desired_resolution = this * bound
+    gridtype: str = "hash"            # "hash" | "tiled"
+    interpolation: str = "linear"     # "linear" | "smoothstep"
+    align_corners: bool = False
+
+    # MLPs (reference network.py:49-56)
+    grid_mlp_hidden: int = 64
+    grid_mlp_layers: int = 3
+    grid_mlp_out: int = 16            # 1 sigma + 15 features
+    view_mlp_hidden: int = 64
+    view_mlp_layers: int = 3
+    sh_degree: int = 4
+
+    # activations (reference main.py:90-92, network.py:112-138)
+    internal_activation: str = "relu"       # "relu" | "softplus"
+    color_activation: str = "clamped_exp"   # "exp" | "sigmoid" | "clamped_exp"
+    density_activation: str = "clamped_exp"  # "softplus" | "clamped_exp"
+    beta: float = 2.0                        # softplus beta (main.py:121)
+
+    # reflectance field: condition color on light direction (network.py:55-56)
+    rfield: bool = False
+
+    # proposal networks, used only in non-occupancy mode (network.py:59-72)
+    prop_num_levels: int = 5
+    prop_level_dim: int = 2
+    prop_log2_hashmap_size: int = 17
+    prop_resolutions: Tuple[int, ...] = (128, 256)
+    prop_mlp_hidden: int = 16
+    prop_mlp_layers: int = 2
+
+
+@dataclass(frozen=True)
+class RenderConfig:
+    """Rendering / sampling options (reference: nerf/renderer.py, main.py)."""
+
+    bound: float = 2.0                # main.py:31
+    contract: bool = False            # main.py:45; overrides bound to 2
+    grid_size: int = 128              # main.py:50
+    min_near: float = 0.05            # main.py:36
+    t_thresh: float = 1e-8            # main.py:37
+    density_thresh: float = 10.0      # main.py:53
+    occupancy: bool = False           # reference `cuda_ray` (main.py:42)
+    max_steps: int = 1024             # main.py:43 (occupancy mode)
+    # TPU-specific: fixed per-ray sample budget after occupancy compaction.
+    # The CUDA reference compacts exactly (raymarching.cu:338-491); on TPU we
+    # keep a static [num_rays, K] sample grid instead.
+    samples_per_ray: int = 64
+    # candidate marching resolution before compaction (multiple of K)
+    march_candidates: int = 512
+    num_steps: Tuple[int, ...] = (256, 96, 48)  # proposal mode, main.py:44
+    dt_gamma: float = 0.0             # main.py:52
+    background: str = "black"         # main.py:46: white|random|last_sample|black
+    update_extra_interval: int = 16   # main.py:48
+    max_ray_batch: int = 4096 * 4     # main.py:49
+    mark_untrained: bool = False      # main.py:51
+    compute_normals: bool = False     # main.py:117
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Optimization schedule (reference: main.py:39-69, 243-266)."""
+
+    iters: int = 20000                # main.py:40
+    lr: float = 1e-2                  # main.py:41
+    adam_eps: float = 1e-15           # main.py:245
+    anneal_lr: bool = False           # main.py:120 (cosine restarts)
+    num_rays: int = 4096              # main.py:59
+    adaptive_num_rays: bool = False   # main.py:60
+    num_points: int = 2 ** 18         # main.py:61
+    ema_decay: float = 0.95           # main.py:264
+    fp16: bool = False                # AMP in the reference; bf16 compute here
+    random_image_batch: bool = False  # preset-only flag in the reference
+    # regularizers (main.py:63-69)
+    lambda_entropy: float = 0.0
+    lambda_tv: float = 0.0
+    lambda_wd: float = 0.0
+    lambda_orientation: float = 0.0
+    lambda_proposal: float = 1.0
+    lambda_distort: float = 0.0
+    loss_weight: str = "none"         # gaussian|planck|hanning|none (main.py:118)
+    # eval/checkpoint cadence (main.py:19-20)
+    save_cnt: int = 50
+    eval_cnt: int = 10
+    eval_batch: int = 1               # main.py:123
+    max_keep_ckpt: int = 2            # train_utils.py:347
+    seed: int = 0
+    diffuse_step: int = 0
+
+
+@dataclass(frozen=True)
+class PoseOptConfig:
+    """BARF-style camera refinement (reference: main.py:105-113,
+    barf/camera_optimizers.py)."""
+
+    mode: str = "none"                # "barf" | "baangp" | "none"
+    num_cameras: int = -1
+    start_annealing: float = 0.0
+    end_annealing: float = 0.33
+    c_lr: float = 1e-3
+    noise: float = 0.0                # synthetic perturbation for self-test
+    identity: bool = False
+    log_poses: bool = False
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Dataset options (reference: main.py:26-37, 85-103)."""
+
+    path: str = ""
+    data_format: str = "colmap"       # colmap | nerf | dtu | synthetic
+    train_split: str = "train"        # train | trainval | all
+    downscale: int = 1
+    scale: float = -1.0               # -1 = auto from poses (main.py:32)
+    offset: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    enable_cam_near_far: bool = False
+    enable_cam_center: bool = False
+    preload: bool = True
+    camera_traj: str = "interp"       # interp | circle
+    # RAW / HDR options (main.py:85-96)
+    image_mode: str = "LDR"           # LDR | HDR
+    expose: bool = False
+    exposure_range: str = "minimal"   # minimal | wide
+    clip: bool = False
+    exposure_percentile: float = 99.0
+    mosaiced: bool = False
+    hdr_merge: str = "none"           # robertson | debevec | none
+    hdr_tonemap: str = "reinhard"     # reinhard | mantiuk | drago
+    # lightstage options (main.py:98-103)
+    bracketing: bool = False
+    masked: bool = False
+    r_mode: str = "none"              # all | downsample3 | downsample6 | replace
+    reduce_set: bool = False
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Mesh extraction (reference: main.py:71-78)."""
+
+    mcubes_reso: int = 512
+    env_reso: int = 256
+    decimate_target: int = 300000
+    visibility_culling: bool = False
+    visibility_mask_dilation: int = 5
+    clean_min_f: int = 8
+    clean_min_d: int = 5
+
+
+@dataclass(frozen=True)
+class ParallelConfig:
+    """Device mesh layout. The reference's latent DDP scaffolding
+    (train_utils.py:384-386) becomes a first-class ray-batch data-parallel
+    axis over an ICI mesh here."""
+
+    num_devices: int = 0              # 0 = all local devices
+    mesh_axis: str = "dp"
+    shard_rays: bool = True
+
+
+@dataclass(frozen=True)
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    render: RenderConfig = field(default_factory=RenderConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    pose_opt: PoseOptConfig = field(default_factory=PoseOptConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    workspace: str = "workspace"
+    ckpt: str = "latest"              # scratch | latest | latest_model | best | path
+
+    # -------- derived quantities --------
+    @property
+    def grid_bound(self) -> float:
+        """Bound used for grid queries; contraction forces 2
+        (reference renderer.py:171-174)."""
+        return 2.0 if self.render.contract else self.render.bound
+
+    @property
+    def cascades(self) -> int:
+        """Number of multi-scale occupancy cascades
+        (reference renderer.py:176)."""
+        return 1 + math.ceil(math.log2(max(self.grid_bound, 1.0)))
+
+    @property
+    def desired_resolution(self) -> float:
+        """Finest hash-grid resolution (reference network.py:48)."""
+        return self.model.hashgrid_resolution * self.grid_bound
+
+    @property
+    def exposure_percentiles(self) -> Tuple[float, ...]:
+        """Percentile set for HDR exposure estimation
+        (reference main.py:203-210)."""
+        if self.data.exposure_range == "wide" or self.data.bracketing:
+            return (70.0, 80.0, 90.0, 97.0, 99.0, 99.9, 100.0)
+        return (97.0, 99.0, 99.9, 100.0)
+
+    @property
+    def hdr_merge_algo(self) -> str:
+        """Bracketing defaults to robertson merge (reference main.py:207-208)."""
+        if (self.data.exposure_range == "wide" or self.data.bracketing) and \
+                self.data.hdr_merge == "none":
+            return "robertson"
+        return self.data.hdr_merge
+
+    # -------- preset composition (reference main.py:129-188) --------
+    def with_preset_O(self) -> "Config":
+        """Occupancy-grid NGP mode (reference main.py:145-151)."""
+        return replace(
+            self,
+            render=replace(self.render, occupancy=True, mark_untrained=True),
+            train=replace(self.train, fp16=True, adaptive_num_rays=True,
+                          random_image_batch=True),
+            data=replace(self.data, preload=True),
+        )
+
+    def with_preset_O2(self) -> "Config":
+        """Contracted proposal-network mode (reference main.py:153-158)."""
+        return replace(
+            self,
+            render=replace(self.render, contract=True, occupancy=False,
+                           mark_untrained=False),
+            train=replace(self.train, fp16=True, adaptive_num_rays=True,
+                          random_image_batch=True),
+            data=replace(self.data, preload=True),
+        )
+
+    def with_preset_lightstage(self) -> "Config":
+        """Light-stage HDR capture preset (reference main.py:129-143)."""
+        cfg = self.with_preset_O()
+        return replace(
+            cfg,
+            render=replace(cfg.render, bound=2.0),
+            model=replace(cfg.model, color_activation="clamped_exp"),
+            data=replace(cfg.data, scale=2.0, masked=True, clip=True,
+                         image_mode="HDR", data_format="colmap",
+                         camera_traj="circle", preload=True),
+        )
+
+    def with_pose_opt(self, mode: str, num_cameras: int) -> "Config":
+        """Pose refinement rewires batching (reference main.py:160-172)."""
+        return replace(
+            self,
+            pose_opt=replace(self.pose_opt, mode=mode, num_cameras=num_cameras),
+            train=replace(self.train, random_image_batch=False),
+            data=replace(self.data, train_split="trainval"),
+        )
+
+    def validate(self) -> "Config":
+        r = self.render
+        assert r.samples_per_ray > 0 and r.march_candidates >= r.samples_per_ray
+        assert self.model.gridtype in ("hash", "tiled")
+        assert self.model.interpolation in ("linear", "smoothstep")
+        assert self.model.color_activation in ("exp", "sigmoid", "clamped_exp")
+        assert self.model.density_activation in ("softplus", "clamped_exp")
+        assert r.background in ("white", "random", "last_sample", "black")
+        assert self.pose_opt.mode in ("barf", "baangp", "none")
+        if self.render.contract:
+            assert not self.render.mark_untrained, \
+                "mark_untrained is incorrect under contraction (main.py:174-176)"
+        return self
+
+
+def default_config() -> Config:
+    return Config()

@@ -12,11 +12,14 @@ import jax.numpy as jnp
 
 @jax.custom_vjp
 def trunc_exp(x):
-    """exp with a clamped backward pass.
+    """exp with a clamped backward pass (reference: activation.py:9-22).
 
-    Forward is plain exp; backward clamps the saved input to [-80, 80] before
-    exponentiating so a single exploding sample cannot produce inf gradients
-    (reference: activation.py:9-22).
+    The reference clamps the saved input at +-80, which still yields e^80
+    backward amplification; it only survives because its fp16 GradScaler
+    *skips* steps whose grads overflow. We run fp32 without a scaler, so we
+    use torch-ngp upstream's +-15 clamp (the value the reference's comment
+    alludes to) — beyond that the cotangent through alpha is ~exp(-sigma*dt)
+    ~ 0 anyway, so the clamp does not bias converged training.
     """
     return jnp.exp(x)
 
@@ -26,7 +29,7 @@ def _trunc_exp_fwd(x):
 
 
 def _trunc_exp_bwd(x, g):
-    return (g * jnp.exp(jnp.clip(x, -80.0, 80.0)),)
+    return (g * jnp.exp(jnp.clip(x, -15.0, 15.0)),)
 
 
 trunc_exp.defvjp(_trunc_exp_fwd, _trunc_exp_bwd)

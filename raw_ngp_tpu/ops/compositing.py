@@ -48,18 +48,21 @@ def composite_rays(
 
     sdelta = sigmas * deltas                                  # [N, K]
     alphas = 1.0 - jnp.exp(-sdelta)
-    # T_before(i) = exp(-sum_{j<i} sigma_j * delta_j)  (exclusive cumsum)
+    # T_before(i) = exp(-sum_{j<i} sigma_j * delta_j). Use a shifted
+    # (exclusive) cumsum, NOT csum - sdelta: when sigma*delta overflows to
+    # inf the subtraction produces inf - inf = NaN for that sample, whereas
+    # the shifted form stays exact (exp(-inf) = 0 downstream).
     csum = jnp.cumsum(sdelta, axis=-1)
-    trans_before = jnp.exp(-(csum - sdelta))
+    excl = jnp.concatenate(
+        [jnp.zeros_like(csum[..., :1]), csum[..., :-1]], axis=-1)
+    trans_before = jnp.exp(-excl)
     weights = alphas * trans_before                           # [N, K]
 
     if t_thresh > 0.0:
         # keep sample i iff the *running* transmittance entering it has not
         # yet crossed the threshold (matches the post-update break in
         # raymarching.cu:573-576)
-        trans_after_prev = jnp.exp(-jnp.concatenate(
-            [jnp.zeros_like(csum[..., :1]), csum[..., :-1]], axis=-1))
-        weights = jnp.where(trans_after_prev >= t_thresh, weights, 0.0)
+        weights = jnp.where(trans_before >= t_thresh, weights, 0.0)
 
     weights = jnp.nan_to_num(weights, nan=0.0)
     weights_sum = weights.sum(axis=-1)                         # [N]
@@ -93,7 +96,10 @@ def bins_to_weights(sigmas, real_bins, last_sample_opaque: bool = False):
             [ds[..., :-1], jnp.full_like(ds[..., -1:], jnp.inf)], axis=-1)
     alphas = 1.0 - jnp.exp(-ds)
     csum = jnp.cumsum(ds, axis=-1)
-    trans = jnp.exp(-(csum - ds))
+    # shifted exclusive cumsum — see composite_rays for the inf-safety note
+    excl = jnp.concatenate(
+        [jnp.zeros_like(csum[..., :1]), csum[..., :-1]], axis=-1)
+    trans = jnp.exp(-excl)
     weights = jnp.nan_to_num(alphas * trans, nan=0.0)
     ts_mid = (real_bins[..., 1:] + real_bins[..., :-1]) / 2.0
     return weights, ts_mid, deltas

@@ -1,0 +1,461 @@
+"""Trainer: jitted train/eval steps + host-side orchestration.
+
+TPU-native redesign of the reference Trainer (nerf/train_utils.py:330-1299).
+The key structural change: the reference's per-step pipeline (DataLoader
+collate -> pose optimizer -> get_rays -> render -> loss -> backward ->
+two optimizer steps -> LR schedulers) crosses the host/device boundary many
+times per step; here the entire step is ONE jitted, donated-state function,
+and the density-grid refresh is a second jitted function invoked every
+``update_extra_interval`` steps (renderer.py:811-897 cadence).
+
+Dual optimization (network Adam + pose Adam with exponential decay and a
+post-annealing freeze, train_utils.py:745-751, 891-909) is two optax chains
+inside the same step.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import time
+from dataclasses import replace
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from raw_ngp_tpu.config import Config
+from raw_ngp_tpu.data.sampler import sample_ray_batch
+from raw_ngp_tpu.data.scene import SceneData
+from raw_ngp_tpu.models.ngp import (
+    FieldSpec,
+    init_field,
+    make_field_spec,
+)
+from raw_ngp_tpu.ops.hashgrid import total_variation_loss, weight_decay_loss
+from raw_ngp_tpu.ops.lie import se3_to_SE3
+from raw_ngp_tpu.render.proposal import render_proposal
+from raw_ngp_tpu.train.losses import (
+    blend_gt_background,
+    entropy_loss,
+    ldr_loss,
+    loss_weight_fn,
+    rawnerf_loss,
+)
+from raw_ngp_tpu.train.state import TrainState
+
+
+def network_lr_schedule(cfg: Config):
+    """LambdaLR 0.1^(step/iters) on the base LR (main.py:261), or cosine
+    warm restarts when anneal_lr (main.py:259)."""
+    if cfg.train.anneal_lr:
+        return optax.cosine_decay_schedule(cfg.train.lr, 6000, alpha=0.0)
+
+    def sched(step):
+        return cfg.train.lr * 0.1 ** jnp.minimum(
+            step / cfg.train.iters, 1.0)
+    return sched
+
+
+def pose_lr_schedule(cfg: Config):
+    """ExponentialLR decaying c_lr to 1e-2 * c_lr over the run
+    (camera_optimizers.py:42-43)."""
+    gamma = (1e-2) ** (1.0 / cfg.train.iters)
+
+    def sched(step):
+        return cfg.pose_opt.c_lr * gamma ** step
+    return sched
+
+
+def skip_nonfinite() -> optax.GradientTransformation:
+    """Zero the ENTIRE update when any gradient leaf is non-finite — the
+    functional equivalent of the reference's AMP GradScaler skipping a step
+    whose grads overflowed (train_utils.py:404, 897-909). optax.zero_nans
+    only catches NaN per-leaf; inf must be rejected too."""
+
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        del params
+        ok = jnp.all(jnp.stack([
+            jnp.all(jnp.isfinite(u))
+            for u in jax.tree_util.tree_leaves(updates)]))
+        updates = jax.tree.map(
+            lambda u: jnp.where(ok, u, jnp.zeros_like(u)), updates)
+        return updates, state
+
+    return optax.GradientTransformation(init, update)
+
+
+def make_optimizers(cfg: Config):
+    net_tx = optax.chain(
+        skip_nonfinite(),
+        optax.adam(learning_rate=network_lr_schedule(cfg),
+                   eps=cfg.train.adam_eps))
+    pose_tx = None
+    if cfg.pose_opt.mode != "none":
+        pose_tx = optax.chain(
+            skip_nonfinite(),
+            optax.adam(learning_rate=pose_lr_schedule(cfg), eps=1e-8))
+    return net_tx, pose_tx
+
+
+def init_train_state(key, cfg: Config, spec: FieldSpec,
+                     num_cameras: int = 0) -> TrainState:
+    k_model, k_noise, k_run = jax.random.split(key, 3)
+    params = init_field(k_model, spec)
+    net_tx, pose_tx = make_optimizers(cfg)
+    opt_state = net_tx.init(params)
+
+    pose_params = None
+    pose_opt_state = None
+    pose_noise = None
+    if cfg.pose_opt.mode != "none":
+        pose_params = jnp.zeros((num_cameras, 6), jnp.float32)
+        pose_opt_state = pose_tx.init(pose_params)
+        if cfg.pose_opt.noise > 0:
+            # synthetic perturbation for the pose-recovery self-test
+            # (camera_optimizers.py:26-36)
+            kt, kr = jax.random.split(k_noise)
+            scale = cfg.data.scale if cfg.data.scale > 0 else 1.0
+            se3_t = (jax.random.normal(kt, (num_cameras, 3))
+                     * cfg.pose_opt.noise * scale)
+            se3_r = jax.random.normal(kr, (num_cameras, 3)) * cfg.pose_opt.noise
+            pose_noise = se3_to_SE3(jnp.concatenate([se3_r, se3_t], axis=-1))
+
+    # ema must be distinct buffers from params (donation aliases otherwise)
+    ema0 = jax.tree.map(jnp.copy, params)
+    st = TrainState(
+        params=params, opt_state=opt_state, ema_params=ema0,
+        key=k_run, step=jnp.zeros((), jnp.int32),
+        pose_params=pose_params, pose_opt_state=pose_opt_state,
+        pose_noise=pose_noise)
+
+    if cfg.render.occupancy:
+        from raw_ngp_tpu.ops.grid import init_grid_state
+        st = st.replace(**init_grid_state(cfg))
+    return st
+
+
+def _bg_color(cfg: Config, key, n):
+    mode = cfg.render.background
+    if mode == "random":
+        return jax.random.uniform(key, (n, 3))
+    if mode in ("white", "last_sample"):
+        return 1.0
+    return 0.0
+
+
+def render_any(params, spec, state, rays_o, rays_d, aabb, *, key,
+               bg_color, cam_near_far, rays_ldir, annealing, training,
+               update_proposal=True):
+    """Dispatch proposal vs occupancy rendering (renderer.py:374-377)."""
+    if spec.cfg.render.occupancy:
+        from raw_ngp_tpu.render.occupancy import render_occupancy
+        return render_occupancy(
+            params, spec, rays_o, rays_d, aabb, state.density_bitfield,
+            key=key, bg_color=bg_color, cam_near_far=cam_near_far,
+            rays_ldir=rays_ldir, annealing=annealing, training=training)
+    return render_proposal(
+        params, spec, rays_o, rays_d, aabb, key=key, bg_color=bg_color,
+        cam_near_far=cam_near_far, rays_ldir=rays_ldir, annealing=annealing,
+        training=training, update_proposal=update_proposal)
+
+
+def make_loss_fn(cfg: Config, spec: FieldSpec, num_rays: int):
+    """The full differentiable step objective: batch sampling + rendering +
+    loss assembly (exposed separately for tests and NaN debugging)."""
+
+    def loss_fn(params, pose_params, state: TrainState, scene, aabb,
+                k_batch, key, annealing, update_proposal):
+        # ray generation lives INSIDE the differentiated function so pose
+        # gradients flow from the loss through get_rays into the se(3)
+        # refinements (the reference routes this through
+        # rays_o/d.requires_grad_, colmap_provider.py:644-645)
+        batch = sample_ray_batch(
+            k_batch, scene["images"], scene["poses"], scene["intrinsics"],
+            num_rays, random_image_batch=cfg.train.random_image_batch,
+            se3_refine=pose_params, pose_noise=state.pose_noise,
+            exposures=scene.get("exposures"), ldirs=scene.get("ldirs"),
+            cam_near_far=scene.get("cam_near_far"),
+            mosaiced=cfg.data.mosaiced)
+        rays_o, rays_d = batch["rays_o"], batch["rays_d"]
+        k_bg, k_render = jax.random.split(key)
+        bg = _bg_color(cfg, k_bg, rays_o.shape[0])
+        gt_rgb = blend_gt_background(batch["images"], bg)
+
+        out = render_any(
+            params, spec, state, rays_o, rays_d, aabb, key=k_render,
+            bg_color=bg, cam_near_far=batch.get("cam_near_far"),
+            rays_ldir=batch.get("rays_ldir"), annealing=annealing,
+            training=True, update_proposal=update_proposal)
+
+        if cfg.data.image_mode == "HDR":
+            lw = loss_weight_fn(cfg.train.loss_weight, gt_rgb)
+            loss = rawnerf_loss(out["image"], gt_rgb, batch["exposure"],
+                                batch.get("lossmult", 1.0), lw)
+        else:
+            loss = ldr_loss(out["image"], gt_rgb)
+
+        if "proposal_loss" in out:
+            loss = loss + cfg.train.lambda_proposal * out["proposal_loss"]
+        if "distort_loss" in out:
+            loss = loss + cfg.train.lambda_distort * out["distort_loss"]
+        if "orientation_loss" in out:
+            loss = loss + cfg.train.lambda_orientation * out["orientation_loss"]
+        if cfg.train.lambda_entropy > 0:
+            loss = loss + cfg.train.lambda_entropy * entropy_loss(
+                out["weights_sum"])
+        # in-place grad regularizers of the reference become loss terms
+        if cfg.train.lambda_tv > 0:
+            loss = loss + cfg.train.lambda_tv * total_variation_loss(
+                params["grid"], spec.grid_spec, key)
+        if cfg.train.lambda_wd > 0:
+            loss = loss + cfg.train.lambda_wd * weight_decay_loss(
+                params["grid"], spec.grid_spec)
+
+        aux = {"num_points": out.get("num_points", 0),
+               "weights_sum": out["weights_sum"].mean()}
+        return loss, aux
+
+    return loss_fn
+
+
+def make_train_step(cfg: Config, spec: FieldSpec, net_tx, pose_tx,
+                    num_rays: int):
+    """Build the jitted train step. Scene tensors are passed as arguments
+    (not closed over) so the executable is scene-independent."""
+    loss_fn = make_loss_fn(cfg, spec, num_rays)
+    pose_freeze_step = int(cfg.pose_opt.end_annealing * cfg.train.iters)
+
+    def train_step(state: TrainState, scene: Dict[str, jnp.ndarray], aabb):
+        key, k_batch, k_loss = jax.random.split(state.key, 3)
+        annealing = jnp.clip(state.step / cfg.train.iters, 0.0, 1.0)
+        update_proposal = True  # refined per-step gating handled below
+
+        if state.pose_params is not None:
+            (loss, aux), (g_net, g_pose) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True)(
+                    state.params, state.pose_params, state, scene, aabb,
+                    k_batch, k_loss, annealing, update_proposal)
+        else:
+            (loss, aux), g_net = jax.value_and_grad(
+                loss_fn, has_aux=True)(
+                    state.params, None, state, scene, aabb, k_batch,
+                    k_loss, annealing, update_proposal)
+            g_pose = None
+
+        # proposal nets update on early steps then 1-in-5
+        # (train_utils.py:508). The reference gates via no_grad around the
+        # proposal query; since proposal_loss is the only gradient source
+        # for the proposal nets, gating their grads is equivalent and keeps
+        # one compiled program.
+        if "prop_grids" in state.params:
+            gate = ((state.step <= 3000)
+                    | (state.step % 5 == 0)).astype(jnp.float32)
+            g_net = dict(g_net)
+            g_net["prop_grids"] = jax.tree.map(lambda g: g * gate,
+                                               g_net["prop_grids"])
+            g_net["prop_mlps"] = jax.tree.map(lambda g: g * gate,
+                                              g_net["prop_mlps"])
+
+        updates, opt_state = net_tx.update(g_net, state.opt_state,
+                                           state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        new_pose_params = state.pose_params
+        new_pose_opt = state.pose_opt_state
+        if state.pose_params is not None:
+            # freeze pose refinement after the annealing window
+            # (train_utils.py:745-751)
+            freeze = (state.step >= pose_freeze_step).astype(jnp.float32)
+            g_pose = jax.tree.map(lambda g: g * (1.0 - freeze), g_pose)
+            p_updates, new_pose_opt = pose_tx.update(
+                g_pose, state.pose_opt_state, state.pose_params)
+            new_pose_params = optax.apply_updates(state.pose_params,
+                                                  p_updates)
+
+        # EMA of model params (train_utils.py:399-402; torch_ema decay 0.95)
+        d = cfg.train.ema_decay
+        ema = jax.tree.map(lambda e, p: d * e + (1.0 - d) * p,
+                           state.ema_params, params)
+
+        new_state = state.replace(
+            params=params, opt_state=opt_state, ema_params=ema, key=key,
+            step=state.step + 1, pose_params=new_pose_params,
+            pose_opt_state=new_pose_opt)
+        metrics = {"loss": loss, **aux}
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_eval_render(cfg: Config, spec: FieldSpec, chunk: int):
+    """Jitted chunk renderer for full-image eval (train_utils.py:592-607
+    chunking; renderer.py:380-396 staged inference)."""
+
+    def render_chunk(params, state_grid, rays_o, rays_d, aabb, exposure,
+                     rays_ldir=None):
+        if cfg.render.occupancy:
+            from raw_ngp_tpu.render.occupancy import render_occupancy
+            out = render_occupancy(
+                params, spec, rays_o, rays_d, aabb, state_grid,
+                key=None, bg_color=1.0 if cfg.render.background != "black"
+                else 0.0, cam_near_far=None, rays_ldir=rays_ldir,
+                annealing=1.0, training=False)
+        else:
+            out = render_proposal(
+                params, spec, rays_o, rays_d, aabb, key=None,
+                bg_color=1.0 if cfg.render.background != "black" else 0.0,
+                cam_near_far=None, rays_ldir=rays_ldir, annealing=1.0,
+                training=False)
+        return out["image"], out["depth"], out["weights_sum"]
+
+    return jax.jit(render_chunk)
+
+
+class Trainer:
+    """Host-side orchestration: epochs, eval cadence, checkpoints, logging
+    (mirrors the responsibilities of reference Trainer,
+    train_utils.py:330-463)."""
+
+    def __init__(self, cfg: Config, train_scene: SceneData,
+                 val_scene: Optional[SceneData] = None,
+                 workspace: Optional[str] = None):
+        self.cfg = cfg
+        self.spec = make_field_spec(cfg)
+        self.workspace = workspace or cfg.workspace
+        os.makedirs(self.workspace, exist_ok=True)
+        os.makedirs(os.path.join(self.workspace, "checkpoints"),
+                    exist_ok=True)
+
+        self.train_scene = train_scene
+        self.val_scene = val_scene
+        self.scene_arrays = self._scene_to_device(train_scene)
+        self.aabb = jnp.asarray(
+            train_scene.pts_aabb if train_scene.pts_aabb is not None
+            and not cfg.render.contract
+            else np.array([-cfg.render.bound] * 3 + [cfg.render.bound] * 3,
+                          np.float32))
+        # clamp the sparse-points AABB into the bound box (renderer.py:215)
+        self.aabb = jnp.clip(self.aabb, -cfg.render.bound, cfg.render.bound)
+
+        key = jax.random.PRNGKey(cfg.train.seed)
+        self.net_tx, self.pose_tx = make_optimizers(cfg)
+        self.state = init_train_state(key, cfg, self.spec,
+                                      num_cameras=train_scene.n_images)
+        self.num_rays = cfg.train.num_rays
+        self._train_step = make_train_step(cfg, self.spec, self.net_tx,
+                                           self.pose_tx, self.num_rays)
+        self._eval_chunk = cfg.render.max_ray_batch
+        self._eval_render = make_eval_render(cfg, self.spec,
+                                             self._eval_chunk)
+        if cfg.render.occupancy:
+            from raw_ngp_tpu.ops.grid import make_grid_update
+            self._grid_update = make_grid_update(cfg, self.spec)
+            from raw_ngp_tpu.ops.grid import mark_untrained_grid
+            if cfg.render.mark_untrained:
+                grid = mark_untrained_grid(
+                    cfg, np.asarray(train_scene.poses),
+                    np.asarray(train_scene.intrinsics), self.aabb,
+                    cam_near_far=train_scene.cam_near_far)
+                self.state = self.state.replace(density_grid=grid)
+        self.stats: Dict[str, Any] = {"loss": [], "psnr": []}
+
+    def _scene_to_device(self, scene: SceneData) -> Dict[str, jnp.ndarray]:
+        arrays = {
+            "images": jnp.asarray(scene.images),
+            "poses": jnp.asarray(scene.poses),
+            "intrinsics": jnp.asarray(scene.intrinsics),
+        }
+        if scene.exposures is not None:
+            arrays["exposures"] = jnp.asarray(scene.exposures)
+        if scene.cam_near_far is not None:
+            arrays["cam_near_far"] = jnp.asarray(scene.cam_near_far)
+        if scene.ldirs is not None:
+            arrays["ldirs"] = jnp.asarray(scene.ldirs)
+        return arrays
+
+    # ------------------------------------------------------------------
+    def train(self, iters: Optional[int] = None, log_every: int = 100):
+        iters = iters or self.cfg.train.iters
+        t0 = time.time()
+        interval = self.cfg.render.update_extra_interval
+        for i in range(iters):
+            if (self.cfg.render.occupancy
+                    and int(self.state.step) % interval == 0):
+                self.state = self._grid_update(self.state)
+            self.state, metrics = self._train_step(
+                self.state, self.scene_arrays, self.aabb)
+            if (i + 1) % log_every == 0 or i == 0:
+                loss = float(metrics["loss"])
+                self.stats["loss"].append(loss)
+                print(f"[train] step {int(self.state.step):6d} "
+                      f"loss {loss:.6f} "
+                      f"({(i + 1) / (time.time() - t0):.1f} it/s)")
+        dt = time.time() - t0
+        rays_per_sec = iters * self.num_rays / dt
+        print(f"[train] {iters} steps in {dt:.1f}s = "
+              f"{rays_per_sec:,.0f} rays/s")
+        return {"wall_time": dt, "rays_per_sec": rays_per_sec}
+
+    # ------------------------------------------------------------------
+    def render_image(self, pose, intrinsics=None, H=None, W=None,
+                     use_ema: bool = False, ldir=None):
+        """Full-image chunked render -> (rgb [H, W, 3], depth [H, W])."""
+        scene = self.train_scene
+        intrinsics = jnp.asarray(
+            intrinsics if intrinsics is not None else scene.intrinsics)
+        H = H or scene.H
+        W = W or scene.W
+        from raw_ngp_tpu.ops.rays import full_image_rays
+        rays_o, rays_d = full_image_rays(jnp.asarray(pose), intrinsics, H, W)
+        N = H * W
+        chunk = min(self._eval_chunk, N)
+        params = self.state.ema_params if use_ema else self.state.params
+        grid = self.state.density_bitfield
+        imgs, depths = [], []
+        ld = None
+        for s in range(0, N, chunk):
+            e = min(s + chunk, N)
+            ro, rd = rays_o[s:e], rays_d[s:e]
+            if e - s < chunk:    # pad to static shape
+                pad = chunk - (e - s)
+                ro = jnp.pad(ro, ((0, pad), (0, 0)))
+                rd = jnp.pad(rd, ((0, pad), (0, 0)), constant_values=1.0)
+            if ldir is not None:
+                ld = jnp.broadcast_to(jnp.asarray(ldir), ro.shape)
+            img, depth, _ = self._eval_render(params, grid, ro, rd,
+                                              self.aabb, None, ld)
+            imgs.append(np.asarray(img[: e - s]))
+            depths.append(np.asarray(depth[: e - s]))
+        rgb = np.concatenate(imgs).reshape(H, W, 3)
+        d = np.concatenate(depths).reshape(H, W)
+        return rgb, d
+
+    def evaluate(self, scene: Optional[SceneData] = None,
+                 use_ema: bool = False) -> Dict[str, float]:
+        """PSNR over a validation split (train_utils.py:977-1139, without
+        the artifact dumps)."""
+        scene = scene or self.val_scene
+        assert scene is not None
+        psnrs = []
+        for i in range(scene.n_images):
+            rgb, _ = self.render_image(
+                scene.poses[i], scene.intrinsics, scene.H, scene.W,
+                use_ema=use_ema,
+                ldir=scene.ldirs[i] if scene.ldirs is not None else None)
+            gt = scene.images[i][..., :3]
+            if self.cfg.data.image_mode == "HDR" and scene.exposures is not None:
+                rgb = np.minimum(1.0, rgb * scene.exposures[i])
+                gt = np.minimum(1.0, gt)
+            mse = float(np.mean((rgb - gt) ** 2))
+            psnrs.append(-10.0 * np.log10(max(mse, 1e-12)))
+        result = {"psnr": float(np.mean(psnrs))}
+        self.stats["psnr"].append(result["psnr"])
+        return result

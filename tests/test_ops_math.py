@@ -30,9 +30,9 @@ def test_trunc_exp_forward_backward():
     x = jnp.array([-2.0, 0.0, 3.0])
     np.testing.assert_allclose(trunc_exp(x), np.exp([-2.0, 0.0, 3.0]),
                                rtol=1e-6)
-    # backward clamps: grad at x=100 equals exp(80), not exp(100)
+    # backward clamps: grad at x=100 equals exp(15), not exp(100)
     g = jax.grad(lambda v: trunc_exp(v).sum())(jnp.array([100.0]))
-    np.testing.assert_allclose(g, np.exp(80.0), rtol=1e-5)
+    np.testing.assert_allclose(g, np.exp(15.0), rtol=1e-5)
     g2 = jax.grad(lambda v: trunc_exp(v).sum())(jnp.array([2.0]))
     np.testing.assert_allclose(g2, np.exp(2.0), rtol=1e-5)
 

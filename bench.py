@@ -1,0 +1,71 @@
+"""Benchmark: flagship occupancy-path training throughput on real hardware.
+
+Prints ONE JSON line:
+  {"metric": "train_rays_per_sec", "value": N, "unit": "rays/s",
+   "vs_baseline": N / BASELINE_RAYS_PER_SEC}
+
+Baseline: the reference publishes no numbers (BASELINE.md); the north-star
+target from BASELINE.json is >=2x torch-ngp A100 rays/sec. Published
+torch-ngp-style trainers sustain ~2.5e5 rays/s on A100 at the default
+2^18-points-per-step budget, so vs_baseline is measured against
+2 * 2.5e5 = 5e5 rays/s. vs_baseline >= 1.0 means the target is met.
+"""
+
+import json
+import sys
+import time
+from dataclasses import replace
+
+import numpy as np
+
+BASELINE_RAYS_PER_SEC = 5.0e5
+
+
+def main():
+    import jax
+
+    from raw_ngp_tpu.config import Config
+    from raw_ngp_tpu.data import make_synthetic_scene
+    from raw_ngp_tpu.train import Trainer
+
+    # flagship defaults: hash L=16 / 2^19, 64x3 MLPs, occupancy marching,
+    # 4096 rays x ~64 samples = the reference's 2^18 point budget
+    cfg = Config().with_preset_O()
+    cfg = replace(cfg, train=replace(cfg.train, fp16=True, num_rays=4096))
+    cfg = cfg.validate()
+
+    train_scene, val_scene = make_synthetic_scene(
+        n_train=36, n_val=2, H=128, W=128)
+    tr = Trainer(cfg, train_scene, val_scene, workspace="/tmp/bench_ws")
+
+    # warmup: compile + first grid refreshes
+    tr.train(iters=32, log_every=1000)
+
+    # steady-state measurement
+    iters = 200
+    t0 = time.time()
+    tr.train(iters=iters, log_every=10 ** 9)
+    jax.block_until_ready(tr.state.params["grid"])
+    dt = time.time() - t0
+
+    rays_per_sec = iters * cfg.train.num_rays / dt
+    points_per_sec = rays_per_sec * cfg.render.samples_per_ray
+    result = {
+        "metric": "train_rays_per_sec",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
+        "extra": {
+            "points_per_sec": round(points_per_sec, 1),
+            "iters": iters,
+            "wall_time_s": round(dt, 2),
+            "num_rays": cfg.train.num_rays,
+            "samples_per_ray": cfg.render.samples_per_ray,
+            "backend": jax.default_backend(),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

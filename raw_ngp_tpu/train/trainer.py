@@ -347,8 +347,10 @@ class Trainer:
 
         key = jax.random.PRNGKey(cfg.train.seed)
         self.net_tx, self.pose_tx = make_optimizers(cfg)
-        self.state = init_train_state(key, cfg, self.spec,
-                                      num_cameras=train_scene.n_images)
+        # jit the whole init: on the remote-TPU path each eager op costs a
+        # compile round-trip (~0.5 s); one fused program costs one
+        init_fn = jax.jit(init_train_state, static_argnums=(1, 2, 3))
+        self.state = init_fn(key, cfg, self.spec, train_scene.n_images)
         self.num_rays = cfg.train.num_rays
         self._train_step = make_train_step(cfg, self.spec, self.net_tx,
                                            self.pose_tx, self.num_rays)
@@ -366,6 +368,8 @@ class Trainer:
                     cam_near_far=train_scene.cam_near_far)
                 self.state = self.state.replace(density_grid=grid)
         self.stats: Dict[str, Any] = {"loss": [], "psnr": []}
+        self.host_step = 0
+        self.host_grid_updates = 0
 
     def _scene_to_device(self, scene: SceneData) -> Dict[str, jnp.ndarray]:
         arrays = {
@@ -387,17 +391,23 @@ class Trainer:
         t0 = time.time()
         interval = self.cfg.render.update_extra_interval
         for i in range(iters):
+            # host-side step counter: no device sync in the hot loop (the
+            # reference forces one per step, raymarching.py:303)
             if (self.cfg.render.occupancy
-                    and int(self.state.step) % interval == 0):
-                self.state = self._grid_update(self.state)
+                    and self.host_step % interval == 0):
+                self.state = self._grid_update(self.state,
+                                               self.host_grid_updates)
+                self.host_grid_updates += 1
             self.state, metrics = self._train_step(
                 self.state, self.scene_arrays, self.aabb)
+            self.host_step += 1
             if (i + 1) % log_every == 0 or i == 0:
                 loss = float(metrics["loss"])
                 self.stats["loss"].append(loss)
-                print(f"[train] step {int(self.state.step):6d} "
+                print(f"[train] step {self.host_step:6d} "
                       f"loss {loss:.6f} "
                       f"({(i + 1) / (time.time() - t0):.1f} it/s)")
+        jax.block_until_ready(self.state.params["grid"])
         dt = time.time() - t0
         rays_per_sec = iters * self.num_rays / dt
         print(f"[train] {iters} steps in {dt:.1f}s = "

@@ -1,0 +1,150 @@
+"""Occupancy-grid path tests: packbits layout, bitfield lookup, marching
+compaction vs a sequential oracle, grid refresh, and E2E occupancy
+training."""
+
+from dataclasses import replace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raw_ngp_tpu.config import Config
+from raw_ngp_tpu.data import make_synthetic_scene
+from raw_ngp_tpu.ops.grid import init_grid_state, packbits
+from raw_ngp_tpu.ops.morton import morton3d
+from raw_ngp_tpu.render.occupancy import march_rays, occupancy_lookup
+from raw_ngp_tpu.train import Trainer
+
+
+def test_packbits_layout():
+    # bit i of byte b corresponds to cell b*8+i (raymarching.cu:268-289)
+    grid = jnp.zeros((1, 64), jnp.float32)
+    grid = grid.at[0, 0].set(5.0).at[0, 3].set(5.0).at[0, 9].set(5.0)
+    bits = np.asarray(packbits(grid, 1.0))
+    assert bits.shape == (8,)
+    assert bits[0] == (1 << 0) | (1 << 3)
+    assert bits[1] == (1 << 1)
+    assert np.all(bits[2:] == 0)
+
+
+def _make_bitfield(occupied_cells, grid_size=32, cascades=1):
+    grid = np.zeros((cascades, grid_size ** 3), np.float32)
+    for (cas, x, y, z) in occupied_cells:
+        code = int(np.asarray(morton3d(jnp.array([[x, y, z]]))[0]))
+        grid[cas, code] = 100.0
+    return packbits(jnp.asarray(grid), 1.0)
+
+
+def test_occupancy_lookup_single_cell():
+    gs = 32
+    # mark the cell containing the origin-ish point
+    # world [-1,1] -> cell = 0.5*(x+1)*gs
+    cell = (1, 16, 16, 16)[1:]
+    bitfield = _make_bitfield([(0, *cell)], grid_size=gs)
+    pos = jnp.array([[0.01, 0.01, 0.01], [0.9, 0.9, 0.9]])
+    dt = jnp.full((2,), 1e-3)
+    occ, cpos = occupancy_lookup(bitfield, pos, dt, bound=1.0,
+                                 contract=False, grid_size=gs, cascades=1)
+    assert bool(occ[0]) is True
+    assert bool(occ[1]) is False
+    np.testing.assert_allclose(np.asarray(cpos), np.asarray(pos))
+
+
+def test_occupancy_lookup_contract_outer_always_sampled():
+    gs = 32
+    bitfield = _make_bitfield([], grid_size=gs, cascades=2)
+    pos = jnp.array([[1.5, 0.0, 0.0]])
+    occ, cpos = occupancy_lookup(bitfield, pos, jnp.full((1,), 1e-3),
+                                 bound=2.0, contract=True, grid_size=gs,
+                                 cascades=2)
+    assert bool(occ[0]) is True          # raymarching.cu:442
+    # contracted coordinate
+    np.testing.assert_allclose(np.asarray(cpos[0, 0]), 2 - 1 / 1.5,
+                               rtol=1e-5)
+
+
+def test_march_compaction_matches_oracle():
+    """First-K occupied candidates per ray, via numpy loop."""
+    gs = 32
+    # occupy a slab x in [0, 0.25): cells 16..19 for all y,z
+    cells = [(0, x, y, z) for x in range(16, 20)
+             for y in range(gs) for z in range(gs)]
+    bitfield = _make_bitfield(cells, grid_size=gs)
+
+    N, S, K = 8, 64, 16
+    rng = np.random.default_rng(0)
+    rays_o = np.tile(np.array([[-2.0, 0.0, 0.0]]), (N, 1)) \
+        + rng.normal(scale=0.05, size=(N, 3))
+    rays_d = np.tile(np.array([[1.0, 0.0, 0.0]]), (N, 1)) \
+        + rng.normal(scale=0.02, size=(N, 3))
+    nears = np.full((N, 1), 0.5, np.float32)
+    fars = np.full((N, 1), 3.5, np.float32)
+
+    out = march_rays(jnp.asarray(rays_o, jnp.float32),
+                     jnp.asarray(rays_d, jnp.float32),
+                     bitfield, jnp.asarray(nears), jnp.asarray(fars),
+                     bound=1.0, contract=False, grid_size=gs, cascades=1,
+                     num_candidates=S, samples_per_ray=K, key=None)
+    ts, mask = np.asarray(out["ts"]), np.asarray(out["mask"])
+
+    # oracle
+    dt = (fars - nears) / S
+    for n in range(N):
+        got = ts[n][mask[n]]
+        expect = []
+        for s in range(S):
+            t = nears[n, 0] + (s + 0.5) * dt[n, 0]
+            p = rays_o[n] + rays_d[n] * t
+            p = np.clip(p, -1, 1)
+            cell = np.clip((0.5 * (p + 1) * gs).astype(int), 0, gs - 1)
+            occ = 16 <= cell[0] < 20
+            if occ:
+                expect.append(t)
+            if len(expect) >= K:
+                break
+        np.testing.assert_allclose(got, expect[:K], rtol=1e-5)
+        # valid samples are in occupied slab
+        pts = rays_o[n] + rays_d[n] * ts[n][mask[n], None]
+        assert np.all(pts[:, 0] >= -0.02) and np.all(pts[:, 0] <= 0.27)
+
+
+def occ_cfg(**kw):
+    cfg = Config().with_preset_O()
+    cfg = replace(cfg, model=replace(
+        cfg.model, num_levels=8, log2_hashmap_size=15,
+        hashgrid_resolution=128, grid_mlp_hidden=32, view_mlp_hidden=32))
+    cfg = replace(cfg, render=replace(
+        cfg.render, occupancy=True, grid_size=32, bound=1.5,
+        samples_per_ray=32, march_candidates=128, mark_untrained=False,
+        update_extra_interval=16, max_ray_batch=4096, **kw))
+    cfg = replace(cfg, train=replace(
+        cfg.train, iters=600, num_rays=1024, fp16=False,
+        random_image_batch=True))
+    return cfg.validate()
+
+
+def test_grid_state_shapes():
+    cfg = occ_cfg()
+    st = init_grid_state(cfg)
+    cas = cfg.cascades
+    assert st["density_grid"].shape == (cas, 32 ** 3)
+    assert st["density_bitfield"].shape == (cas * 32 ** 3 // 8,)
+
+
+def test_occupancy_training_learns(tmp_path):
+    train_scene, val_scene = make_synthetic_scene(
+        n_train=36, n_val=2, H=48, W=48)
+    cfg = occ_cfg()
+    tr = Trainer(cfg, train_scene, val_scene, workspace=str(tmp_path))
+    psnr0 = tr.evaluate()["psnr"]
+    tr.train(iters=500, log_every=250)
+    psnr1 = tr.evaluate()["psnr"]
+    print(f"occupancy PSNR {psnr0:.2f} -> {psnr1:.2f}")
+    assert psnr1 > psnr0 + 3.0
+    assert psnr1 > 20.0
+    # density grid was refreshed and some cells pruned
+    assert float(tr.state.mean_density) > 0
+    occ_frac = float((np.asarray(tr.state.density_grid) >
+                      float(tr.state.mean_density)).mean())
+    assert 0.0 < occ_frac < 0.9

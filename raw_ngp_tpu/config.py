@@ -52,6 +52,9 @@ class ModelConfig:
 
     # reflectance field: condition color on light direction (network.py:55-56)
     rfield: bool = False
+    # use the fused sort-backward hash encoder (kernels/hash_fused.py)
+    # instead of plain XLA gather + scatter-add autodiff
+    fused_encoder: bool = True
 
     # proposal networks, used only in non-occupancy mode (network.py:59-72)
     prop_num_levels: int = 5

@@ -49,6 +49,15 @@ class FieldSpec:
     def compute_dtype(self):
         return jnp.bfloat16 if self.cfg.train.fp16 else jnp.float32
 
+    @property
+    def needs_input_grads(self) -> bool:
+        """Whether d(features)/d(position) must flow (pose refinement,
+        orientation loss, analytic normals)."""
+        cfg = self.cfg
+        return (cfg.pose_opt.mode != "none"
+                or cfg.train.lambda_orientation > 0
+                or cfg.render.compute_normals)
+
 
 def make_field_spec(cfg: Config) -> FieldSpec:
     m = cfg.model
@@ -150,12 +159,23 @@ def baangp_blend(cfg: Config, annealing, feats):
 # field evaluation
 # ---------------------------------------------------------------------------
 
+def _encode(params_table, x, grid_spec, spec: FieldSpec):
+    """Dispatch plain vs fused hash encoder."""
+    cfg = spec.cfg
+    if cfg.model.fused_encoder:
+        from raw_ngp_tpu.kernels.hash_fused import hash_encode_fast
+        return hash_encode_fast(params_table, x, grid_spec,
+                                bound=cfg.grid_bound,
+                                need_input_grads=spec.needs_input_grads)
+    return hash_encode(params_table, x, grid_spec, bound=cfg.grid_bound)
+
+
 def _common_forward(params, spec: FieldSpec, x, annealing):
     """hash encode -> anneal -> grid MLP -> (sigma, feat)
     (network.py:74-117)."""
     cfg = spec.cfg
     m = cfg.model
-    f = hash_encode(params["grid"], x, spec.grid_spec, bound=cfg.grid_bound)
+    f = _encode(params["grid"], x, spec.grid_spec, spec)
     if cfg.pose_opt.mode == "baangp":
         f = baangp_blend(cfg, annealing, f)
     elif cfg.pose_opt.mode == "barf":
@@ -171,8 +191,8 @@ def field_density(params, spec: FieldSpec, x, annealing=1.0, proposal=-1):
     (network.py:145-156)."""
     cfg = spec.cfg
     if 0 <= proposal < len(spec.prop_specs):
-        f = hash_encode(params["prop_grids"][proposal], x,
-                        spec.prop_specs[proposal], bound=cfg.grid_bound)
+        f = _encode(params["prop_grids"][proposal], x,
+                    spec.prop_specs[proposal], spec)
         h = apply_mlp(params["prop_mlps"][proposal], f,
                       cfg.model.internal_activation, cfg.model.beta,
                       spec.compute_dtype)

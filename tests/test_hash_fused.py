@@ -1,0 +1,89 @@
+"""Fused (sort-backward) hash encoder vs the pure-jnp reference op —
+forward equality and gradient equality (the oracle pattern of SURVEY §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raw_ngp_tpu.kernels.hash_fused import hash_encode_fused
+from raw_ngp_tpu.ops.hashgrid import (
+    HashGridSpec,
+    hash_encode_01,
+    init_hashgrid_params,
+)
+
+
+@pytest.fixture(scope="module")
+def spec():
+    return HashGridSpec.create(input_dim=3, num_levels=6, level_dim=2,
+                               base_resolution=4, log2_hashmap_size=9,
+                               desired_resolution=64)
+
+
+def test_forward_matches_reference(spec):
+    params = init_hashgrid_params(jax.random.PRNGKey(0), spec)
+    x01 = jax.random.uniform(jax.random.PRNGKey(1), (257, 3))
+    # include some OOB rows
+    x01 = x01.at[0].set(jnp.array([1.5, 0.5, 0.5]))
+    got = hash_encode_fused(params, x01, spec)
+    want = hash_encode_01(params, x01, spec)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-8)
+
+
+def test_table_gradient_matches_reference(spec):
+    params = jax.random.normal(jax.random.PRNGKey(0),
+                               (spec.n_params, spec.level_dim)) * 0.1
+    x01 = jax.random.uniform(jax.random.PRNGKey(1), (129, 3))
+    cot = jax.random.normal(jax.random.PRNGKey(2),
+                            (129, spec.output_dim))
+
+    g_fused = jax.grad(
+        lambda p: (hash_encode_fused(p, x01, spec) * cot).sum())(params)
+    g_ref = jax.grad(
+        lambda p: (hash_encode_01(p, x01, spec) * cot).sum())(params)
+    # fused bwd pre-rounds contributions to fp16 (parity with the
+    # reference's half atomics, gridencoder.cu:334-347) and accumulates in
+    # fp32 -> compare with fp16-appropriate tolerance
+    scale = np.abs(np.asarray(g_ref)).max()
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
+                               rtol=5e-3, atol=2e-3 * scale)
+
+
+def test_input_gradient_matches_reference(spec):
+    params = jax.random.normal(jax.random.PRNGKey(0),
+                               (spec.n_params, spec.level_dim)) * 0.1
+    x01 = jax.random.uniform(jax.random.PRNGKey(1), (65, 3),
+                             minval=0.05, maxval=0.95)
+    cot = jax.random.normal(jax.random.PRNGKey(2), (65, spec.output_dim))
+
+    g_fused = jax.grad(
+        lambda x: (hash_encode_fused(params, x, spec, True) * cot).sum())(x01)
+    g_ref = jax.grad(
+        lambda x: (hash_encode_01(params, x, spec) * cot).sum())(x01)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_no_input_grads_returns_zeros(spec):
+    params = init_hashgrid_params(jax.random.PRNGKey(0), spec)
+    x01 = jax.random.uniform(jax.random.PRNGKey(1), (33, 3))
+    g = jax.grad(
+        lambda x: hash_encode_fused(params, x, spec, False).sum())(x01)
+    np.testing.assert_array_equal(np.asarray(g), 0.0)
+
+
+def test_grad_under_jit_and_vmap_composition(spec):
+    """The custom_vjp must compose with jit (it is used inside the train
+    step)."""
+    params = init_hashgrid_params(jax.random.PRNGKey(0), spec)
+    x01 = jax.random.uniform(jax.random.PRNGKey(1), (64, 3))
+
+    @jax.jit
+    def loss(p):
+        return hash_encode_fused(p, x01, spec).sum()
+
+    g = jax.jit(jax.grad(loss))(params)
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert float(jnp.abs(g).sum()) > 0

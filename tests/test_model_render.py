@@ -26,7 +26,7 @@ def tiny_config(**render_kw):
         cfg.model, num_levels=4, log2_hashmap_size=12,
         hashgrid_resolution=64, grid_mlp_hidden=16, view_mlp_hidden=16,
         prop_num_levels=3, prop_log2_hashmap_size=10,
-        prop_resolutions=(32, 64)))
+        prop_resolutions=(32, 64), fused_encoder=False))
     cfg = replace(cfg, render=replace(
         cfg.render, num_steps=(32, 16, 8), occupancy=False, **render_kw))
     return cfg.validate()

@@ -113,7 +113,7 @@ def occ_cfg(**kw):
     cfg = Config().with_preset_O()
     cfg = replace(cfg, model=replace(
         cfg.model, num_levels=8, log2_hashmap_size=15,
-        hashgrid_resolution=128, grid_mlp_hidden=32, view_mlp_hidden=32))
+        hashgrid_resolution=128, grid_mlp_hidden=32, view_mlp_hidden=32, fused_encoder=False))
     cfg = replace(cfg, render=replace(
         cfg.render, occupancy=True, grid_size=32, bound=1.5,
         samples_per_ray=32, march_candidates=128, mark_untrained=False,

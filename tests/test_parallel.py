@@ -26,7 +26,7 @@ def tiny_cfg(occupancy=False):
         cfg.model, num_levels=4, log2_hashmap_size=12,
         hashgrid_resolution=64, grid_mlp_hidden=16, view_mlp_hidden=16,
         prop_num_levels=3, prop_log2_hashmap_size=10,
-        prop_resolutions=(16, 32)))
+        prop_resolutions=(16, 32), fused_encoder=False))
     cfg = replace(cfg, render=replace(
         cfg.render, num_steps=(16, 8, 8), occupancy=occupancy,
         grid_size=16, samples_per_ray=16, march_candidates=64,

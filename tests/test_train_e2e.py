@@ -19,7 +19,7 @@ def small_cfg(**kw):
         cfg.model, num_levels=8, log2_hashmap_size=15,
         hashgrid_resolution=128, grid_mlp_hidden=32, view_mlp_hidden=32,
         prop_num_levels=4, prop_log2_hashmap_size=12,
-        prop_resolutions=(32, 64)))
+        prop_resolutions=(32, 64), fused_encoder=False))
     cfg = replace(cfg, render=replace(
         cfg.render, num_steps=(48, 24, 16), occupancy=False, bound=2.0,
         max_ray_batch=4096))

@@ -22,14 +22,32 @@ class SceneMeta:
 
     filenames: List[str] = field(default_factory=list)
     shutter_speeds: List[float] = field(default_factory=list)
-    cam2rgb: Optional[np.ndarray] = None          # [3, 3]
+    cam2rgb: Any = None                           # [3, 3] or list of them
     ldirs: Optional[np.ndarray] = None            # [n_leds, 3]
     exposure_levels: Dict[float, float] = field(default_factory=dict)
     # per-image exposure index/value (image_utils.py:107-122)
     exposure_idx: Optional[np.ndarray] = None     # [n_images] int
     exposure_values: Optional[np.ndarray] = None  # [n_images] float
+    unique_shutters: Optional[np.ndarray] = None
     train_ids: Optional[np.ndarray] = None
     val_ids: Optional[np.ndarray] = None
+
+    def __post_init__(self):
+        if self.cam2rgb is None:
+            self.cam2rgb = []
+
+    def finalize_exposures(self):
+        """Relative exposures, 1.0 = brightest (image_utils.py:107-121)."""
+        ss = np.array(self.shutter_speeds, dtype=np.float64)
+        if len(ss) == 0:
+            return
+        unique = np.sort(np.unique(ss))[::-1]
+        idx = np.zeros(len(ss), np.int32)
+        for i, s in enumerate(unique):
+            idx[ss == s] = i
+        self.exposure_idx = idx
+        self.unique_shutters = unique
+        self.exposure_values = (ss / unique[0]).astype(np.float32)
 
 
 @dataclass

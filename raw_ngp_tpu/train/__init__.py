@@ -8,6 +8,18 @@ from raw_ngp_tpu.train.losses import (
     planck_taper_weighting,
     rawnerf_loss,
 )
+from raw_ngp_tpu.train.checkpoint import (
+    load_checkpoint,
+    resolve_checkpoint,
+    save_checkpoint,
+)
+from raw_ngp_tpu.train.metrics import (
+    LPIPSMeter,
+    PSNRMeter,
+    SSIMMeter,
+    rmse,
+    ssim,
+)
 from raw_ngp_tpu.train.state import TrainState
 from raw_ngp_tpu.train.trainer import (
     Trainer,

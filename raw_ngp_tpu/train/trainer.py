@@ -370,6 +370,9 @@ class Trainer:
         self.stats: Dict[str, Any] = {"loss": [], "psnr": []}
         self.host_step = 0
         self.host_grid_updates = 0
+        # checkpoint auto-resume policy (train_utils.py:444-463)
+        if cfg.ckpt != "scratch":
+            self.load_checkpoint()
 
     def _scene_to_device(self, scene: SceneData) -> Dict[str, jnp.ndarray]:
         arrays = {
@@ -449,23 +452,167 @@ class Trainer:
         return rgb, d
 
     def evaluate(self, scene: Optional[SceneData] = None,
-                 use_ema: bool = False) -> Dict[str, float]:
-        """PSNR over a validation split (train_utils.py:977-1139, without
-        the artifact dumps)."""
+                 use_ema: bool = False, save_artifacts: bool = False,
+                 metrics: Optional[list] = None,
+                 export_npy: bool = False) -> Dict[str, float]:
+        """Metrics over a validation split with optional PNG artifact dumps
+        and raw .npy exports for the offline evaluator
+        (train_utils.py:977-1139)."""
+        from raw_ngp_tpu.train.metrics import PSNRMeter
+
         scene = scene or self.val_scene
         assert scene is not None
-        psnrs = []
+        meters = metrics if metrics is not None else [PSNRMeter()]
+        val_dir = os.path.join(self.workspace, "validation")
+        eval_dir = os.path.join(self.workspace, "eval")
+        if save_artifacts:
+            os.makedirs(val_dir, exist_ok=True)
+        if export_npy:
+            os.makedirs(eval_dir, exist_ok=True)
+
         for i in range(scene.n_images):
-            rgb, _ = self.render_image(
+            rgb, depth = self.render_image(
                 scene.poses[i], scene.intrinsics, scene.H, scene.W,
                 use_ema=use_ema,
                 ldir=scene.ldirs[i] if scene.ldirs is not None else None)
             gt = scene.images[i][..., :3]
-            if self.cfg.data.image_mode == "HDR" and scene.exposures is not None:
-                rgb = np.minimum(1.0, rgb * scene.exposures[i])
-                gt = np.minimum(1.0, gt)
-            mse = float(np.mean((rgb - gt) ** 2))
-            psnrs.append(-10.0 * np.log10(max(mse, 1e-12)))
-        result = {"psnr": float(np.mean(psnrs))}
-        self.stats["psnr"].append(result["psnr"])
+            rgb_m, gt_m = rgb, gt
+            if (self.cfg.data.image_mode == "HDR"
+                    and scene.exposures is not None):
+                rgb_m = np.minimum(1.0, rgb * scene.exposures[i])
+                gt_m = np.minimum(1.0, gt)
+            for m in meters:
+                m.update(rgb_m, gt_m)
+            if export_npy:       # offline-eval protocol (:1023-1031)
+                np.save(os.path.join(eval_dir, f"pred_{i:03d}.npy"), rgb)
+                np.save(os.path.join(eval_dir, f"gt_{i:03d}.npy"), gt)
+            if save_artifacts:   # validation dumps (:1062-1111)
+                import imageio.v2 as iio
+                step = self.host_step
+                iio.imwrite(
+                    os.path.join(val_dir, f"rgb_{step}_{i:03d}.png"),
+                    (np.clip(rgb_m, 0, 1) * 255).astype(np.uint8))
+                d = depth / (depth.max() + 1e-8)
+                iio.imwrite(
+                    os.path.join(val_dir, f"depth_{step}_{i:03d}.png"),
+                    (np.clip(d, 0, 1) * 255).astype(np.uint8))
+                err = np.abs(rgb_m - gt_m).mean(-1)
+                iio.imwrite(
+                    os.path.join(val_dir, f"error_{step}_{i:03d}.png"),
+                    (np.clip(err, 0, 1) * 255).astype(np.uint8))
+
+        result = {m.name.lower(): m.measure() for m in meters}
+        if "psnr" in result:
+            self.stats["psnr"].append(result["psnr"])
         return result
+
+    # ------------------------------------------------------------------
+    # checkpointing (train_utils.py:1141-1299)
+    def save_checkpoint(self, name: Optional[str] = None,
+                        best: bool = False):
+        from raw_ngp_tpu.train.checkpoint import save_checkpoint
+        ckpt_dir = os.path.join(self.workspace, "checkpoints")
+        if best:
+            # best checkpoint carries EMA weights (train_utils.py:1192-1215)
+            state = self.state.replace(params=self.state.ema_params)
+            return save_checkpoint(state, ckpt_dir, "ngp_best",
+                                   stats={"psnr": self.stats["psnr"][-1:]},
+                                   max_keep=self.cfg.train.max_keep_ckpt)
+        name = name or f"ngp_step{self.host_step:06d}"
+        return save_checkpoint(self.state, ckpt_dir, name,
+                               stats={"loss": self.stats["loss"][-1:]},
+                               max_keep=self.cfg.train.max_keep_ckpt)
+
+    def load_checkpoint(self, mode: Optional[str] = None) -> bool:
+        from raw_ngp_tpu.train.checkpoint import (
+            load_checkpoint,
+            resolve_checkpoint,
+        )
+        mode = mode or self.cfg.ckpt
+        path = resolve_checkpoint(os.path.join(self.workspace,
+                                               "checkpoints"), mode)
+        if path is None:
+            return False
+        self.state, meta = load_checkpoint(self.state, path)
+        self.host_step = int(meta.get("step", int(self.state.step)))
+        interval = self.cfg.render.update_extra_interval
+        self.host_grid_updates = self.host_step // max(interval, 1)
+        print(f"[ckpt] restored {path} at step {self.host_step} "
+              f"({meta.get('n_loaded', '?')} arrays)")
+        return True
+
+    # ------------------------------------------------------------------
+    # training with eval/save cadence (train_utils.py:724-766 semantics)
+    def fit(self, iters: Optional[int] = None):
+        """Train with the reference's periodic eval + checkpoint schedule
+        (save ~save_cnt times, eval ~eval_cnt times per run)."""
+        iters = iters or self.cfg.train.iters
+        save_every = max(1, iters // max(1, self.cfg.train.save_cnt))
+        eval_every = max(1, iters // max(1, self.cfg.train.eval_cnt))
+        best_psnr = -1.0
+        done = 0
+        while done < iters:
+            chunk = min(min(save_every, eval_every), iters - done)
+            self.train(iters=chunk, log_every=max(chunk, 1))
+            done += chunk
+            if done % save_every < chunk:
+                self.save_checkpoint()
+            if done % eval_every < chunk and self.val_scene is not None:
+                r = self.evaluate()
+                print(f"[eval] step {self.host_step}: "
+                      + " ".join(f"{k}={v:.4f}" for k, v in r.items()))
+                if r.get("psnr", -1) > best_psnr:
+                    best_psnr = r["psnr"]
+                    self.save_checkpoint(best=True)
+        return {"best_psnr": best_psnr}
+
+    # ------------------------------------------------------------------
+    # test-trajectory video export (train_utils.py:774-861)
+    def test(self, scene: SceneData, save_dir: Optional[str] = None,
+             write_video: bool = True, fps: int = 25):
+        import imageio.v2 as iio
+
+        save_dir = save_dir or os.path.join(self.workspace, "results")
+        os.makedirs(save_dir, exist_ok=True)
+        frames_rgb, frames_depth = [], []
+        cam2rgb = None
+        meta = scene.meta if scene.meta else None
+        if (self.cfg.data.image_mode == "HDR" and meta
+                and len(meta.cam2rgb) > 0):
+            cam2rgb = np.asarray(meta.cam2rgb[0])
+
+        for i in range(scene.n_images):
+            rgb, depth = self.render_image(
+                scene.poses[i], scene.intrinsics, scene.H, scene.W,
+                ldir=scene.ldirs[i] if scene.ldirs is not None else None)
+            if self.cfg.data.image_mode == "HDR" and cam2rgb is not None:
+                from raw_ngp_tpu.postprocess.raw import (
+                    postprocess_raw,
+                    postprocess_raw_hdr,
+                )
+                if self.cfg.hdr_merge_algo != "none":
+                    rgb = postprocess_raw_hdr(
+                        rgb, cam2rgb, self.cfg.exposure_percentiles,
+                        self.cfg.hdr_merge_algo, self.cfg.data.hdr_tonemap)
+                else:
+                    rgb = postprocess_raw(rgb, cam2rgb)
+            frames_rgb.append((np.clip(rgb, 0, 1) * 255).astype(np.uint8))
+            d = depth / (depth.max() + 1e-8)
+            frames_depth.append((np.clip(d, 0, 1) * 255).astype(np.uint8))
+
+        if write_video and len(frames_rgb) > 1:
+            # pad to even dims for the codec (train_utils.py:836-848)
+            def pad_even(f):
+                H, W = f.shape[:2]
+                return np.pad(f, [(0, H % 2), (0, W % 2)]
+                              + [(0, 0)] * (f.ndim - 2))
+            iio.mimwrite(os.path.join(save_dir, "rgb.mp4"),
+                         [pad_even(f) for f in frames_rgb], fps=fps,
+                         quality=8, macro_block_size=1)
+            iio.mimwrite(os.path.join(save_dir, "depth.mp4"),
+                         [pad_even(f) for f in frames_depth], fps=fps,
+                         quality=8, macro_block_size=1)
+        else:
+            for i, f in enumerate(frames_rgb):
+                iio.imwrite(os.path.join(save_dir, f"rgb_{i:03d}.png"), f)
+        return frames_rgb

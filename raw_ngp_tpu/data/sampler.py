@@ -62,9 +62,11 @@ def sample_ray_batch(
 
     sel_poses = poses[img_idx]                             # [N, 4, 4]
     if pose_noise is not None:
-        # pre-composed synthetic perturbation (camera_optimizers.py:96-98)
+        # pre-composed synthetic perturbation, camera-space like the
+        # refinement (camera_optimizers.py:96-98)
         from raw_ngp_tpu.ops.lie import compose_pose
-        sel_poses = compose_pose(sel_poses[:, :3, :4], pose_noise[img_idx])
+        sel_poses = compose_pose(pose_noise[img_idx],
+                                 sel_poses[:, :3, :4])
     if se3_refine is not None:
         sel_poses = apply_refinement(se3_refine[img_idx], sel_poses)
 

@@ -49,8 +49,9 @@ def look_at_pose(eye: np.ndarray, target: np.ndarray,
     return pose
 
 
-def _trace(origins, dirs):
-    """Analytic ray trace of the sphere scene. origins/dirs [N, 3]."""
+def _trace(origins, dirs, light=None):
+    """Analytic ray trace of the sphere scene. origins/dirs [N, 3];
+    optional per-call light direction (unit, pointing AT the scene)."""
     N = origins.shape[0]
     best_t = np.full(N, np.inf)
     color = np.zeros((N, 3))
@@ -68,7 +69,8 @@ def _trace(origins, dirs):
             continue
         p = origins[valid] + dirs[valid] * t[valid, None]
         n = (p - c) / r
-        lam = np.clip(n @ _LIGHT, 0.0, 1.0) * 0.85 + 0.15
+        L = _LIGHT if light is None else -np.asarray(light, np.float64)
+        lam = np.clip(n @ L, 0.0, 1.0) * 0.85 + 0.15
         color[valid] = _ALBEDO[s] * lam[:, None]
         best_t[valid] = t[valid]
     return color, best_t
@@ -82,11 +84,13 @@ def make_synthetic_scene(
     radius: float = 2.2,
     fov_deg: float = 50.0,
     hdr: bool = False,
+    rfield: bool = False,
     seed: int = 0,
 ) -> Tuple[SceneData, SceneData]:
     """Generate (train, val) SceneData on a camera ring with two
     elevations. ``hdr=True`` emits linear radiance with per-image exposure
-    (exercises the RawNeRF loss path)."""
+    (exercises the RawNeRF loss path). ``rfield=True`` lights each image
+    from a different direction (exercises the reflectance-field path)."""
     rng = np.random.default_rng(seed)
     n_total = n_train + n_val
     fx = fy = 0.5 * W / math.tan(0.5 * math.radians(fov_deg))
@@ -111,12 +115,20 @@ def make_synthetic_scene(
 
     images = np.zeros((n_total, H, W, 3), dtype=np.float32)
     exposures = np.ones((n_total, 1), dtype=np.float32)
+    ldirs = None
+    if rfield:
+        phis = rng.uniform(0, 2 * np.pi, n_total)
+        thetas = rng.uniform(0.2, 1.2, n_total)
+        ldirs = np.stack([np.sin(thetas) * np.cos(phis),
+                          np.sin(thetas) * np.sin(phis),
+                          np.cos(thetas)], axis=-1).astype(np.float32)
     for i in range(n_total):
         R, t = poses[i, :3, :3], poses[i, :3, 3]
         d = cam_dirs @ R.T
         d = d / np.linalg.norm(d, axis=-1, keepdims=True)
         o = np.broadcast_to(t, d.shape)
-        col, _ = _trace(o.astype(np.float64), d.astype(np.float64))
+        col, _ = _trace(o.astype(np.float64), d.astype(np.float64),
+                        light=ldirs[i] if rfield else None)
         img = col.reshape(H, W, 3).astype(np.float32)
         if hdr:
             # simulate bracketing: scale radiance by a per-image shutter
@@ -133,6 +145,7 @@ def make_synthetic_scene(
             images=images[idx], poses=poses[idx], intrinsics=intr,
             H=H, W=W,
             exposures=exposures[idx] if hdr else None,
+            ldirs=ldirs[idx] if rfield else None,
             pts_aabb=aabb, poses_gt=poses[idx].copy(), meta=meta)
 
     # interleave the val views among the train views (every k-th frame, the

@@ -121,7 +121,10 @@ def barf_level_weights(cfg: Config, annealing):
     """BARF cosine level mask over the 32 grid features
     (network.py:99-109). Returns [L * level_dim]."""
     m = cfg.model
-    L = m.grid_mlp_out                       # 16 (reference uses dim_out)
+    # the reference anneals over grid_mlp.dim_out levels (network.py:100),
+    # which equals num_levels only at the default config; we key off the
+    # actual level count so non-default models stay consistent
+    L = m.num_levels
     k = jnp.arange(L, dtype=jnp.float32)
     alpha = _anneal_alpha(cfg, annealing, L)
     w = (1.0 - jnp.cos(jnp.clip(alpha - k, 0.0, 1.0) * jnp.pi)) / 2.0
@@ -138,8 +141,9 @@ def baangp_blend(cfg: Config, annealing, feats):
     """
     m = cfg.model
     C = m.level_dim
-    L_levels = m.grid_mlp_out                # 16 total feature levels
-    L = m.grid_mlp_out - 1                   # 15 annealed levels (reference)
+    L_levels = m.num_levels                  # total feature levels
+    L = m.num_levels - 1                     # annealed levels (reference
+    #                                          uses dim_out-1, network.py:78)
     k = jnp.arange(L, dtype=jnp.float32)
     alpha = _anneal_alpha(cfg, annealing, L)
     w = (1.0 - jnp.cos(jnp.clip(alpha - k, 0.0, 1.0) * jnp.pi)) / 2.0

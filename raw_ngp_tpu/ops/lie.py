@@ -113,13 +113,17 @@ def apply_refinement(se3_refine, poses):
     """Left-compose a learned se(3) correction onto cam2world poses
     (reference camera_optimizers.py:102-105: refined = exp(se3) ∘ pose).
 
+    The correction acts in CAMERA space: refined = pose ∘ exp(se3)
+    (camera.pose.compose([pose_refine, poses]) folds to
+    R_pose @ R_refine with compose_pair's b∘a semantics).
+
     Args:
       se3_refine: [N, 6]
       poses: [N, 3, 4] or [N, 4, 4]
     Returns: [N, 3, 4]
     """
     refine = se3_to_SE3(se3_refine)
-    return compose_pose(poses[..., :3, :4], refine)
+    return compose_pose(refine, poses[..., :3, :4])
 
 
 def rotation_distance(R1, R2, eps: float = 1e-7):

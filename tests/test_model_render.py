@@ -91,7 +91,8 @@ def test_barf_weights_progression():
 def test_baangp_blend_shapes_and_limits():
     cfg = tiny_config()
     cfg = cfg.with_pose_opt("baangp", 4)
-    feats = jax.random.normal(jax.random.PRNGKey(0), (8, 32))
+    width = cfg.model.num_levels * cfg.model.level_dim
+    feats = jax.random.normal(jax.random.PRNGKey(0), (8, width))
     out0 = baangp_blend(cfg, 0.0, feats)
     out1 = baangp_blend(cfg, 1.0, feats)
     assert out0.shape == feats.shape

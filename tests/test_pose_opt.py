@@ -1,0 +1,116 @@
+"""Pose-refinement tests: the reference's noise-injection self-test
+(camera_optimizers.py:26-36, SURVEY.md §4.4) as an automated E2E — perturb
+known-good poses, train with BARF refinement, verify the optimizer pulls
+them back toward ground truth."""
+
+from dataclasses import replace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raw_ngp_tpu.config import Config
+from raw_ngp_tpu.data import make_synthetic_scene
+from raw_ngp_tpu.ops.lie import apply_refinement, compose_pose, se3_to_SE3
+from raw_ngp_tpu.train import Trainer
+from raw_ngp_tpu.train.pose_analysis import (
+    analyze_pose_optimization,
+    evaluate_camera_alignment,
+    prealign_cameras,
+    rotation_error_deg,
+)
+
+
+def pose_cfg(mode="barf", noise=0.05):
+    cfg = Config()
+    cfg = replace(cfg, model=replace(
+        cfg.model, num_levels=8, log2_hashmap_size=14,
+        hashgrid_resolution=128, grid_mlp_hidden=32, view_mlp_hidden=32,
+        prop_num_levels=3, prop_log2_hashmap_size=10,
+        prop_resolutions=(32, 64), fused_encoder=False))
+    cfg = replace(cfg, render=replace(
+        cfg.render, num_steps=(32, 16, 12), occupancy=False, bound=2.0))
+    cfg = replace(cfg, train=replace(
+        cfg.train, iters=400, num_rays=1024, lr=1e-2, fp16=False))
+    cfg = cfg.with_pose_opt(mode, 36)
+    cfg = replace(cfg, pose_opt=replace(
+        cfg.pose_opt, noise=noise, c_lr=3e-3, end_annealing=0.8))
+    return cfg.validate()
+
+
+def test_alignment_identity():
+    poses = np.tile(np.eye(4, dtype=np.float32), (5, 1, 1))
+    poses[:, :3, 3] = np.random.default_rng(0).normal(size=(5, 3))
+    r = evaluate_camera_alignment(poses, poses)
+    assert r["rotation_deg"] < 0.1
+    assert r["translation"] < 1e-5
+
+
+def test_alignment_recovers_similarity_transform():
+    rng = np.random.default_rng(1)
+    gt = np.tile(np.eye(4, dtype=np.float32), (8, 1, 1))
+    gt[:, :3, 3] = rng.normal(size=(8, 3))
+    # apply a global similarity transform to make "predictions"
+    from scipy.spatial.transform import Rotation
+    R = Rotation.from_euler("xyz", [0.3, -0.2, 0.5]).as_matrix()
+    pred = gt.copy()
+    pred[:, :3, 3] = 2.0 * gt[:, :3, 3] @ R.T + np.array([1, 2, 3])
+    pred[:, :3, :3] = np.einsum("ij,njk->nik", R, gt[:, :3, :3])
+    r = evaluate_camera_alignment(pred, gt)
+    assert r["translation"] < 1e-4
+    assert r["rotation_deg"] < 0.1
+
+
+def test_rotation_error():
+    from scipy.spatial.transform import Rotation
+    R1 = np.eye(3)[None]
+    R2 = Rotation.from_euler("z", 10, degrees=True).as_matrix()[None]
+    assert rotation_error_deg(R1, R2)[0] == pytest.approx(10.0, abs=0.01)
+
+
+def test_refinement_composition_order():
+    """refined = pose ∘ exp(se3): a pure-z camera-space translation moves
+    the camera along its own viewing axis."""
+    from raw_ngp_tpu.data.synthetic import look_at_pose
+    pose = jnp.asarray(look_at_pose(np.array([2.0, 0, 0]),
+                                    np.zeros(3)))[None]
+    se3 = jnp.zeros((1, 6)).at[0, 5].set(0.5)   # translate +z in cam frame
+    refined = np.asarray(apply_refinement(se3, pose))
+    move = refined[0, :3, 3] - np.asarray(pose)[0, :3, 3]
+    cam_z = np.asarray(pose)[0, :3, 2]
+    np.testing.assert_allclose(move, 0.5 * cam_z, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_pose_recovery_e2e(tmp_path):
+    """Noise-injected poses must move back toward GT during training."""
+    train_scene, val_scene = make_synthetic_scene(n_train=36, n_val=2,
+                                                  H=48, W=48)
+    cfg = pose_cfg("barf", noise=0.05)
+    tr = Trainer(cfg, train_scene, val_scene, workspace=str(tmp_path))
+    assert tr.state.pose_params is not None
+    assert tr.state.pose_noise is not None
+
+    err0 = analyze_pose_optimization(tr)   # refinement still zero
+    tr.train(iters=400, log_every=200)
+    err1 = analyze_pose_optimization(tr)
+    print(f"pose err: rot {err0['rotation_deg']:.3f} -> "
+          f"{err1['rotation_deg']:.3f} deg, "
+          f"trans {err0['translation']:.4f} -> {err1['translation']:.4f}")
+    # refinement learned something: nonzero corrections
+    assert float(jnp.abs(tr.state.pose_params).max()) > 1e-4
+    # errors decreased (full convergence needs the reference's 20k-step
+    # schedule; 400 CPU steps only demonstrates the recovery direction)
+    assert err1["rotation_deg"] < err0["rotation_deg"] * 0.92
+    assert err1["translation"] < err0["translation"]
+
+
+def test_baangp_trains(tmp_path):
+    train_scene, val_scene = make_synthetic_scene(n_train=12, n_val=1,
+                                                  H=32, W=32)
+    cfg = pose_cfg("baangp", noise=0.0)
+    cfg = replace(cfg, pose_opt=replace(cfg.pose_opt, num_cameras=12))
+    tr = Trainer(cfg, train_scene, val_scene, workspace=str(tmp_path))
+    tr.train(iters=30, log_every=30)
+    assert np.isfinite(tr.stats["loss"][-1])

@@ -185,17 +185,18 @@ def load_hdr_image(
                 exif = json.load(f)[0]
         cam2rgb = dng_cam2rgb(exif)
 
+    from raw_ngp_tpu import native
+
     image = image.astype(np.float32)
     if clip:
-        image = np.clip(image, 0.0, 1.0)
         black, white = LIGHTSTAGE_BLACKLEVEL, LIGHTSTAGE_WHITELEVEL
     else:
         assert exif is not None, "--clip off requires EXIF black/white level"
         black, white = float(exif["BlackLevel"]), float(exif["WhiteLevel"])
-    image = (image - black) / (white - black)
+    image = native.normalize_levels(image, black, white, clip=clip)
 
     if image.ndim == 2 and not mosaiced:
-        image = bilinear_demosaic(image)
+        image = native.demosaic_rggb(image)
     image = _resize(image, H, W)
     if mosaiced and image.ndim == 2:
         image = mosaic_to_3ch(image)

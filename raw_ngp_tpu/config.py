@@ -83,6 +83,11 @@ class RenderConfig:
     samples_per_ray: int = 64
     # candidate marching resolution before compaction (multiple of K)
     march_candidates: int = 512
+    # cross-ray sample compaction: evaluate the field only on a static
+    # buffer of num_rays*K*compact_ratio points (the CSR equivalent of the
+    # reference's exact compaction + adaptive_num_rays point budget,
+    # train_utils.py:563-564). 0 disables.
+    compact_ratio: float = 0.5
     num_steps: Tuple[int, ...] = (256, 96, 48)  # proposal mode, main.py:44
     dt_gamma: float = 0.0             # main.py:52
     background: str = "black"         # main.py:46: white|random|last_sample|black

@@ -139,6 +139,46 @@ def march_rays(
     return {"ts": ts, "deltas": deltas, "mask": mask}
 
 
+def _sorted_compact(values, slot_dump, m_pad: int):
+    """Scatter rows of ``values`` [M, D] to ``slot_dump`` [M] (non-
+    decreasing; dump index == m_pad) into a [m_pad + 1, D] buffer using
+    per-column sorted-unique scalar scatter-sets — the only scatter form
+    XLA:TPU runs at ~1 ns/slice."""
+    M, D = values.shape
+    dnums = jax.lax.ScatterDimensionNumbers(
+        update_window_dims=(), inserted_window_dims=(0,),
+        scatter_dims_to_operand_dims=(0,))
+    cols = []
+    for d in range(D):
+        z = jnp.zeros((m_pad + 1,), values.dtype)
+        cols.append(jax.lax.scatter(
+            z, slot_dump[:, None], values[:, d], dnums,
+            indices_are_sorted=True, unique_indices=True))
+    return jnp.stack(cols, axis=-1)                      # [m_pad+1, D]
+
+
+def compact_samples(mask, m_pad: int, *arrays):
+    """Cross-ray stream compaction of per-sample arrays.
+
+    The reference's CUDA march writes exactly-counted CSR buffers via
+    atomics (raymarching.cu:486-490); this is the static-shape equivalent:
+    the first ``m_pad`` valid samples (flat ray-major order) are packed
+    into [m_pad, D] buffers; the rest are dropped (their mask turns off,
+    the analogue of the reference's max-step clamping).
+
+    Returns (kept_mask, inv_index, [compacted arrays...]).
+    ``inv_index`` maps each flat sample to its packed slot (m_pad for
+    dropped/invalid ones — a zero dummy row).
+    """
+    flat = mask.reshape(-1)
+    slot = jnp.cumsum(flat.astype(jnp.int32)) - 1
+    keep = flat & (slot < m_pad)
+    slot_dump = jnp.where(keep, slot, m_pad)
+    outs = [_sorted_compact(a.reshape(len(flat), -1), slot_dump, m_pad)
+            for a in arrays]
+    return keep.reshape(mask.shape), slot_dump, outs
+
+
 def render_occupancy(
     params,
     spec: FieldSpec,
@@ -186,16 +226,53 @@ def render_occupancy(
         xyzs = contract_fn(xyzs)
 
     dirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
-    dirs_flat = jnp.broadcast_to(dirs[:, None, :], (N, K, 3)).reshape(-1, 3)
-    ld_flat = None
+    dirs_nk = jnp.broadcast_to(dirs[:, None, :], (N, K, 3))
+    ld_nk = None
     if rays_ldir is not None:
-        ld_flat = jnp.broadcast_to(rays_ldir[:, None, :],
-                                   (N, K, 3)).reshape(-1, 3)
+        ld_nk = jnp.broadcast_to(rays_ldir[:, None, :], (N, K, 3))
 
-    sigmas, rgbs = field_forward(params, spec, xyzs.reshape(-1, 3),
-                                 dirs_flat, ld_flat, annealing)
-    sigmas = sigmas.reshape(N, K)
-    rgbs = rgbs.reshape(N, K, 3)
+    ratio = cfg.render.compact_ratio
+    if ratio > 0:
+        # evaluate the field only on the packed valid samples — the static
+        # equivalent of the reference's exact CSR compaction + 2^18-point
+        # budget (adaptive_num_rays, train_utils.py:563-564)
+        m_pad = max(int(N * K * ratio) // 128 * 128, 128)
+        # over-budget steps decimate samples UNIFORMLY along each ray and
+        # scale dt by the stride (coarser but consistent transmittance —
+        # the reference instead shrinks next step's ray count); tail
+        # truncation only remains as a backstop for rounding overflow
+        valid_total = mask.sum()
+        stride = jnp.maximum((valid_total + m_pad - 1) // m_pad, 1)
+        k_idx = jnp.cumsum(mask.astype(jnp.int32), axis=-1) - 1
+        mask = mask & ((k_idx % stride) == 0)
+        deltas = deltas * stride.astype(deltas.dtype)
+        packs = [xyzs, dirs_nk] + ([ld_nk] if ld_nk is not None else [])
+        mask, inv, packed = compact_samples(mask, m_pad, *packs)
+        xyz_c, dirs_c = packed[0][:-1], packed[1][:-1]   # drop dummy row
+        ld_c = packed[2][:-1] if ld_nk is not None else None
+        # unfilled slots are zero rows; a zero direction NaNs the SH
+        # normalization and 0*NaN poisons the backward — give them a unit z
+        ez = jnp.array([0.0, 0.0, 1.0], dirs_c.dtype)
+        dnorm = jnp.linalg.norm(dirs_c, axis=-1, keepdims=True)
+        dirs_c = jnp.where(dnorm > 1e-8, dirs_c, ez)
+        if ld_c is not None:
+            lnorm = jnp.linalg.norm(ld_c, axis=-1, keepdims=True)
+            ld_c = jnp.where(lnorm > 1e-8, ld_c, ez)
+        sig_c, rgb_c = field_forward(params, spec, xyz_c, dirs_c, ld_c,
+                                     annealing)
+        # expand back (dummy row 0 feeds dropped/invalid lanes)
+        sig_pad = jnp.concatenate([sig_c, jnp.zeros((1,), sig_c.dtype)])
+        rgb_pad = jnp.concatenate([rgb_c, jnp.zeros((1, 3), rgb_c.dtype)])
+        sigmas = sig_pad[inv].reshape(N, K)
+        rgbs = rgb_pad[inv].reshape(N, K, 3)
+    else:
+        sigmas, rgbs = field_forward(params, spec, xyzs.reshape(-1, 3),
+                                     dirs_nk.reshape(-1, 3),
+                                     ld_nk.reshape(-1, 3)
+                                     if ld_nk is not None else None,
+                                     annealing)
+        sigmas = sigmas.reshape(N, K)
+        rgbs = rgbs.reshape(N, K, 3)
 
     out = composite_rays(sigmas, rgbs, ts, deltas, mask,
                          t_thresh=cfg.render.t_thresh)
@@ -216,7 +293,8 @@ def render_occupancy(
             normals = -g / (jnp.linalg.norm(g, axis=-1, keepdims=True)
                             + 1e-9)
             normals = (normals + 1.0) / 2.0
-            n_dot_v = (normals * -dirs_flat).sum(-1).reshape(N, K)
+            n_dot_v = (normals
+                       * -dirs_nk.reshape(-1, 3)).sum(-1).reshape(N, K)
             results["orientation_loss"] = jnp.mean(
                 (out["weights"] * jnp.minimum(0.0, n_dot_v) ** 2).sum(-1))
 

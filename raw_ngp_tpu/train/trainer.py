@@ -410,7 +410,9 @@ class Trainer:
                 print(f"[train] step {self.host_step:6d} "
                       f"loss {loss:.6f} "
                       f"({(i + 1) / (time.time() - t0):.1f} it/s)")
-        jax.block_until_ready(self.state.params["grid"])
+        # force completion of the async chain with a value fetch —
+        # block_until_ready alone returns early on remote-tunnel backends
+        self.stats["loss"].append(float(jax.device_get(metrics["loss"])))
         dt = time.time() - t0
         rays_per_sec = iters * self.num_rays / dt
         print(f"[train] {iters} steps in {dt:.1f}s = "

@@ -370,6 +370,11 @@ class Trainer:
         self.stats: Dict[str, Any] = {"loss": [], "psnr": []}
         self.host_step = 0
         self.host_grid_updates = 0
+        # observability (train_utils.py:428-432 console+file, :919-937
+        # tensorboard; rays/points counters per SURVEY §5.1)
+        from raw_ngp_tpu.utils.logging import RunLogger, ThroughputMeter
+        self.logger = RunLogger(self.workspace)
+        self.throughput = ThroughputMeter()
         # checkpoint auto-resume policy (train_utils.py:444-463)
         if cfg.ckpt != "scratch":
             self.load_checkpoint()
@@ -404,12 +409,20 @@ class Trainer:
             self.state, metrics = self._train_step(
                 self.state, self.scene_arrays, self.aabb)
             self.host_step += 1
+            self.throughput.update(self.num_rays)
             if (i + 1) % log_every == 0 or i == 0:
                 loss = float(metrics["loss"])
                 self.stats["loss"].append(loss)
-                print(f"[train] step {self.host_step:6d} "
-                      f"loss {loss:.6f} "
-                      f"({(i + 1) / (time.time() - t0):.1f} it/s)")
+                self.logger.log(
+                    f"[train] step {self.host_step:6d} "
+                    f"loss {loss:.6f} "
+                    f"({(i + 1) / (time.time() - t0):.1f} it/s)")
+                self.logger.scalar("train/loss", loss, self.host_step)
+                self.logger.scalar("train/num_points",
+                                   float(metrics["num_points"]),
+                                   self.host_step)
+                self.logger.scalars(self.throughput.rates(),
+                                    self.host_step, prefix="throughput")
         # force completion of the async chain with a value fetch —
         # block_until_ready alone returns early on remote-tunnel backends
         self.stats["loss"].append(float(jax.device_get(metrics["loss"])))

@@ -28,10 +28,13 @@ def main():
     from raw_ngp_tpu.data import make_synthetic_scene
     from raw_ngp_tpu.train import Trainer
 
-    # flagship defaults: hash L=16 / 2^19, 64x3 MLPs, occupancy marching,
-    # 4096 rays x ~64 samples = the reference's 2^18 point budget
-    cfg = Config().with_preset_O()
-    cfg = replace(cfg, train=replace(cfg.train, fp16=True, num_rays=4096))
+    # flagship: occupancy marching with the TPU hash-grid profile (same
+    # param count & MLP widths as the reference; see with_tpu_profile), at
+    # the reference's EXACT 2^18-points-per-step budget: 8192 rays x K=64
+    # candidates x 0.5 compaction = 262144 field evaluations per step
+    # (the reference's adaptive_num_rays settles in this rays regime too)
+    cfg = Config().with_preset_O().with_tpu_profile()
+    cfg = replace(cfg, train=replace(cfg.train, fp16=True, num_rays=8192))
     cfg = cfg.validate()
 
     train_scene, val_scene = make_synthetic_scene(

@@ -277,6 +277,16 @@ class Config:
                          camera_traj="circle", preload=True),
         )
 
+    def with_tpu_profile(self) -> "Config":
+        """TPU-optimized hash-grid shape: 8 levels x 4 channels instead of
+        the reference's 16 x 2 (same parameter count, same 32-wide MLP
+        input). XLA:TPU gather cost is per-SLICE and flat in slice width up
+        to 8 floats, so halving the level count halves the dominant
+        encode/gradient cost. Quality measured at or above the 16x2 layout
+        on the synthetic benchmark scene (see tests/bench history)."""
+        return replace(
+            self, model=replace(self.model, num_levels=8, level_dim=4))
+
     def with_pose_opt(self, mode: str, num_cameras: int) -> "Config":
         """Pose refinement rewires batching (reference main.py:160-172)."""
         return replace(

@@ -621,12 +621,26 @@ class Trainer:
                 H, W = f.shape[:2]
                 return np.pad(f, [(0, H % 2), (0, W % 2)]
                               + [(0, 0)] * (f.ndim - 2))
-            iio.mimwrite(os.path.join(save_dir, "rgb.mp4"),
-                         [pad_even(f) for f in frames_rgb], fps=fps,
-                         quality=8, macro_block_size=1)
-            iio.mimwrite(os.path.join(save_dir, "depth.mp4"),
-                         [pad_even(f) for f in frames_depth], fps=fps,
-                         quality=8, macro_block_size=1)
+
+            def write(name, frames):
+                # mp4 when an ffmpeg backend exists; GIF otherwise (this
+                # image ships no ffmpeg); PNG frames as the last resort
+                padded = [pad_even(f) for f in frames]
+                try:
+                    iio.mimwrite(os.path.join(save_dir, name + ".mp4"),
+                                 padded, fps=fps, quality=8,
+                                 macro_block_size=1)
+                except Exception:
+                    try:
+                        iio.mimwrite(os.path.join(save_dir, name + ".gif"),
+                                     padded, fps=min(fps, 25))
+                    except Exception:
+                        for i, f in enumerate(frames):
+                            iio.imwrite(os.path.join(
+                                save_dir, f"{name}_{i:03d}.png"), f)
+
+            write("rgb", frames_rgb)
+            write("depth", frames_depth)
         else:
             for i, f in enumerate(frames_rgb):
                 iio.imwrite(os.path.join(save_dir, f"rgb_{i:03d}.png"), f)

@@ -104,3 +104,55 @@ def test_downscale(tmp_path):
     downscale.main([str(tmp_path), "--factor", "4"])
     out = cv2.imread(str(tmp_path / "images_4" / "0.png"))
     assert out.shape == (16, 12, 3)
+
+
+def test_exr_tools_wb_solve(monkeypatch):
+    """Synthesize a mosaiced Macbeth checker under a known color matrix and
+    verify the least-squares solve recovers it."""
+    sys.path.insert(0, "tools")
+    import exr_tools
+
+    M_true = np.array([[1.2, -0.1, 0.05], [-0.05, 1.1, -0.02],
+                       [0.02, -0.08, 1.3]])
+    cam_patches = exr_tools.MACBETH @ np.linalg.inv(M_true).T
+    shape = (4 * 150 + 200, 6 * 150 + 200)
+    full = np.zeros((*shape, 3), np.float32)
+    idx = 0
+    for r in range(4):
+        for c in range(6):
+            full[60 + r * 150:140 + r * 150,
+                 50 + c * 150:130 + c * 150] = cam_patches[idx]
+            idx += 1
+    img = np.zeros(shape, np.float32)
+    img[0::2, 0::2] = full[0::2, 0::2, 0]
+    img[0::2, 1::2] = full[0::2, 1::2, 1]
+    img[1::2, 0::2] = full[1::2, 0::2, 1]
+    img[1::2, 1::2] = full[1::2, 1::2, 2]
+    monkeypatch.setattr(exr_tools, "load_exr_image", lambda p: img)
+    M = exr_tools.solve_wb("dummy", crop=(0, 0, shape[1], shape[0]),
+                           rotate_deg=0)
+    assert np.abs(M - M_true).max() < 0.05
+
+
+def test_exr_tools_convert_and_mask(tmp_path, monkeypatch):
+    sys.path.insert(0, "tools")
+    import exr_tools
+    import imageio.v2 as iio
+
+    rng = np.random.default_rng(0)
+    mosaic = rng.uniform(0, 1, (32, 32)).astype(np.float32)
+    monkeypatch.setattr(exr_tools, "load_exr_image", lambda p: mosaic)
+    out = str(tmp_path / "o.png")
+    assert exr_tools.convert_exr_to_png("dummy.exr", out)
+    img = iio.imread(out)
+    assert img.shape == (32, 32, 3) and img.dtype == np.uint8
+
+    mask = np.zeros((32, 32), np.uint8)
+    mask[8:24, 8:24] = 255
+    mpath = str(tmp_path / "m.png")
+    iio.imwrite(mpath, mask)
+    outm = str(tmp_path / "om.png")
+    exr_tools.main(["mask", out, mpath, outm, "--bg", "black"])
+    masked = iio.imread(outm)
+    assert masked[0, 0].max() == 0
+    assert masked[16, 16].max() > 0

@@ -87,35 +87,30 @@ def _forward(params, idx, w, spec: HashGridSpec):
     return feats.reshape(B, L, n_corners, C).sum(axis=2).reshape(B, L * C)
 
 
-def _segment_sum_sorted_scatter(keys_sorted, vals_sorted, n_rows: int):
-    """Exact segment sums of ``vals_sorted`` grouped by ``keys_sorted``
-    (ascending): segment_total(k) = inclusive_csum[end(k)] -
-    exclusive_csum[start(k)], realized as two sorted-unique scatter-SETs
-    (the only scatter form XLA:TPU executes fast, ~1 ns/slice; scatter-add
-    is ~40 ns regardless of flags, and associative_scan at 33M elements
-    blows up the TPU compiler).
+def _segment_sum_sorted_scatter(keys_sorted, val_channels, n_rows: int):
+    """Exact segment sums of the sorted per-channel 1-D value arrays
+    grouped by ``keys_sorted`` (ascending): segment_total(k) =
+    inclusive_csum[end(k)] - exclusive_csum[start(k)], realized as one
+    sorted-unique scatter-SET per channel (the only scatter form XLA:TPU
+    executes fast, ~1 ns/slice; scatter-add is ~40 ns regardless of flags,
+    and associative_scan at 33M elements blows up the TPU compiler).
 
-    vals_sorted: [M, C]. Returns [n_rows, C].
+    Everything stays in 1-D [M] arrays: 2-D [M, C] layouts with tiny minor
+    dims waste 124/128 vector lanes on TPU and multiply the cumsum cost.
+
+    val_channels: list of C arrays [M]. Returns [n_rows, C].
     """
-    M, C = vals_sorted.shape
-    vals_f32 = vals_sorted.astype(jnp.float32)
-    inc_csum = jnp.cumsum(vals_f32, axis=0)                        # [M, C]
-    exc_csum = inc_csum - vals_f32
-
     boundary = keys_sorted[1:] != keys_sorted[:-1]
     is_end = jnp.concatenate([boundary, jnp.ones((1,), jnp.bool_)])
     is_start = jnp.concatenate([jnp.ones((1,), jnp.bool_), boundary])
 
     # Strided destinations keep the scatter's index stream MONOTONE (the
-    # prerequisite for XLA's fast sorted-unique scatter path, ~1 ns/slice
-    # vs ~40 ns otherwise):
+    # prerequisite for XLA's fast sorted-unique scatter path):
     #   segment start  -> 3k     (exclusive csum)
     #   middle element -> 3k + 1 (discarded slot; duplicate writes land
     #                             here, value irrelevant)
     #   segment end    -> 3k + 2 (inclusive csum)
-    # Within a segment 3k < 3k+1 <= ... <= 3k+2 and segments have
-    # increasing k, so destinations are non-decreasing. Singletons take the
-    # end branch and write inc - exc = their own value.
+    # Singletons take the end branch and write inc - exc = their own value.
     dest = jnp.where(
         is_end, 3 * keys_sorted + 2,
         jnp.where(is_start, 3 * keys_sorted, 3 * keys_sorted + 1))
@@ -124,12 +119,13 @@ def _segment_sum_sorted_scatter(keys_sorted, vals_sorted, n_rows: int):
         scatter_dims_to_operand_dims=(0,))
 
     out = []
-    for c in range(C):
+    for v in val_channels:
+        v = v.astype(jnp.float32)
+        inc = jnp.cumsum(v)
+        exc = inc - v
         vals_c = jnp.where(is_end,
-                           jnp.where(is_start,
-                                     inc_csum[:, c] - exc_csum[:, c],
-                                     inc_csum[:, c]),
-                           exc_csum[:, c])
+                           jnp.where(is_start, v, inc),
+                           exc)
         z = jnp.zeros((3 * n_rows,), jnp.float32)
         s = jax.lax.scatter(z, dest[:, None], vals_c, dnums,
                             indices_are_sorted=True,
@@ -161,35 +157,35 @@ def _fused_bwd(spec, need_input_grads, res, g):
     n_corners = idx.shape[1] // L
     M = B * L * n_corners
 
-    # corner gradient values: v[b, l, c_corner, :] = w * g[b, l, :]
+    # corner gradient values per channel: v_c = w * g[..., c], kept as 1-D
+    # [M] arrays (2-D [M, C] layouts waste vector lanes on TPU)
     g_lc = g.reshape(B, L, 1, C).astype(jnp.float32)
-    w_r = w.reshape(B, L, n_corners, 1)
-    corner_vals = (w_r * g_lc).reshape(M, C)
+    w_r = w.reshape(B, L, n_corners)
 
     keys = idx.reshape(M)
-    if C == 2:
-        # pack both channels as fp16 into one uint32 so the sort is a
-        # 2-operand sort_key_val (variadic sorts are much slower on TPU).
-        # fp16 pre-accumulation matches the reference exactly: its backward
-        # scatters half-precision atomics (gridencoder.cu:334-347 half2
-        # atomicAdd); accumulation stays fp32 here (better than the
-        # reference, which accumulates in fp16 too).
+    # pack channel PAIRS as fp16 into uint32 sort operands: halves the
+    # sorted payload. fp16 pre-accumulation matches the reference exactly
+    # (its backward scatters half-precision atomics, gridencoder.cu:334-347
+    # half2 atomicAdd); accumulation below stays fp32.
+    chans = [(w_r * g_lc[..., c]).reshape(M) for c in range(C)]
+    if C % 2 == 1:
+        chans.append(jnp.zeros_like(chans[0]))
+    packed_ops = []
+    for c in range(0, len(chans), 2):
         u = jax.lax.bitcast_convert_type(
-            corner_vals.astype(jnp.float16), jnp.uint16).astype(jnp.uint32)
-        packed = (u[:, 0] << 16) | u[:, 1]
-        keys_s, packed_s = jax.lax.sort_key_val(keys, packed)
-        u0 = (packed_s >> 16).astype(jnp.uint16)
-        u1 = (packed_s & 0xFFFF).astype(jnp.uint16)
-        vals_s = jnp.stack(
-            [jax.lax.bitcast_convert_type(u0, jnp.float16),
-             jax.lax.bitcast_convert_type(u1, jnp.float16)],
-            axis=-1).astype(jnp.float32)
-    else:
-        sorted_ops = jax.lax.sort(
-            [keys] + [corner_vals[:, c] for c in range(C)], num_keys=1)
-        keys_s = sorted_ops[0]
-        vals_s = jnp.stack(sorted_ops[1:], axis=-1)
-    grad_table = _segment_sum_sorted_scatter(keys_s, vals_s,
+            chans[c].astype(jnp.float16), jnp.uint16).astype(jnp.uint32)
+        w = jax.lax.bitcast_convert_type(
+            chans[c + 1].astype(jnp.float16), jnp.uint16).astype(jnp.uint32)
+        packed_ops.append((u << 16) | w)
+    sorted_ops = jax.lax.sort([keys] + packed_ops, num_keys=1)
+    keys_s = sorted_ops[0]
+    val_channels = []
+    for ps in sorted_ops[1:]:
+        u0 = (ps >> 16).astype(jnp.uint16)
+        u1 = (ps & 0xFFFF).astype(jnp.uint16)
+        val_channels.append(jax.lax.bitcast_convert_type(u0, jnp.float16))
+        val_channels.append(jax.lax.bitcast_convert_type(u1, jnp.float16))
+    grad_table = _segment_sum_sorted_scatter(keys_s, val_channels[:C],
                                              spec.n_params)
     grad_table = grad_table.astype(params.dtype)
 

@@ -104,6 +104,7 @@ def march_rays(
     num_candidates: int,        # S
     samples_per_ray: int,       # K
     key=None,                   # jitter (perturb)
+    dt_gamma: float = 0.0,
 ):
     """Candidate -> mask -> compact marching. Returns dict with
     ts [N, K], deltas [N, K], mask [N, K] (valid samples)."""
@@ -111,13 +112,28 @@ def march_rays(
     S, K = num_candidates, samples_per_ray
 
     span = (fars - nears)                                   # [N, 1]
-    dt = span / S                                           # [N, 1]
     steps = jnp.arange(S, dtype=jnp.float32)[None, :]       # [1, S]
     if key is not None:
         jitter = jax.random.uniform(key, (N, 1))
     else:
         jitter = 0.5
-    t_cand = nears + (steps + jitter) * dt                  # [N, S]
+    if dt_gamma > 0.0:
+        # adaptive step growth (raymarching.cu:396-401,412): dt grows as
+        # clamp(t * dt_gamma, dt_min, dt_max). In closed form the
+        # candidate times follow t_i ~= near * (1 + dt_gamma)^i once
+        # t * gamma exceeds dt_min; we use the geometric schedule
+        # normalized so candidate S-1 still lands at `far`.
+        g = jnp.float32(dt_gamma)
+        geo = (jnp.power(1.0 + g, steps + jitter) - 1.0) \
+            / (jnp.power(1.0 + g, jnp.float32(S)) - 1.0)     # [N, S] in [0,1)
+        t_cand = nears + span * geo
+        t_next = nears + span * (
+            (jnp.power(1.0 + g, steps + jitter + 1.0) - 1.0)
+            / (jnp.power(1.0 + g, jnp.float32(S)) - 1.0))
+        dt = t_next - t_cand                                 # [N, S]
+    else:
+        dt = span / S                                        # [N, 1]
+        t_cand = nears + (steps + jitter) * dt               # [N, S]
 
     pos = rays_o[:, None, :] + rays_d[:, None, :] * t_cand[..., None]
     occ, _ = occupancy_lookup(bitfield, pos, jnp.broadcast_to(dt, (N, S)),
@@ -135,7 +151,11 @@ def march_rays(
     mask = jnp.zeros((N, K + 1), jnp.bool_).at[rows, slot].set(
         keep, mode="drop")[:, :K]
 
-    deltas = jnp.broadcast_to(dt, (N, K))
+    if dt_gamma > 0.0:
+        deltas = jnp.zeros((N, K + 1), jnp.float32).at[rows, slot].set(
+            dt, mode="drop")[:, :K]
+    else:
+        deltas = jnp.broadcast_to(dt, (N, K))
     return {"ts": ts, "deltas": deltas, "mask": mask}
 
 
@@ -212,7 +232,8 @@ def render_occupancy(
 
     m = march_rays(rays_o, rays_d, bitfield, nears, fars,
                    cfg.render.bound, cfg.render.contract,
-                   cfg.render.grid_size, cfg.cascades, S, K, key=key)
+                   cfg.render.grid_size, cfg.cascades, S, K, key=key,
+                   dt_gamma=cfg.render.dt_gamma)
     ts, deltas, mask = m["ts"], m["deltas"], m["mask"]
     mask = mask & ~miss
 

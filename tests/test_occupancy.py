@@ -148,3 +148,30 @@ def test_occupancy_training_learns(tmp_path):
     occ_frac = float((np.asarray(tr.state.density_grid) >
                       float(tr.state.mean_density)).mean())
     assert 0.0 < occ_frac < 0.9
+
+
+def test_march_dt_gamma_growth():
+    """dt_gamma > 0 grows step sizes along the ray (raymarching.cu:396-401);
+    kept deltas must be increasing and cover [near, far]."""
+    gs = 16
+    grid = jnp.full((1, gs ** 3), 100.0)
+    bitfield = packbits(grid, 1.0)
+    N, S, K = 4, 64, 64
+    rays_o = jnp.tile(jnp.array([[-2.0, 0.05, 0.05]]), (N, 1))
+    rays_d = jnp.tile(jnp.array([[1.0, 0.0, 0.0]]), (N, 1))
+    nears = jnp.full((N, 1), 0.5)
+    fars = jnp.full((N, 1), 3.5)
+    out = march_rays(rays_o, rays_d, bitfield, nears, fars, bound=1.0,
+                     contract=False, grid_size=gs, cascades=1,
+                     num_candidates=S, samples_per_ray=K, key=None,
+                     dt_gamma=0.05)
+    ts = np.asarray(out["ts"])[0]
+    dts = np.asarray(out["deltas"])[0]
+    mask = np.asarray(out["mask"])[0]
+    kept = dts[mask]
+    assert len(kept) > 4
+    assert np.all(np.diff(kept) > -1e-6)          # non-decreasing steps
+    assert kept[-1] > kept[0] * 1.5               # actual growth
+    # consecutive ts differ by the recorded dt
+    tk = ts[mask]
+    np.testing.assert_allclose(np.diff(tk), kept[:-1], rtol=1e-4)

@@ -131,9 +131,12 @@ def make_synthetic_scene(
                         light=ldirs[i] if rfield else None)
         img = col.reshape(H, W, 3).astype(np.float32)
         if hdr:
-            # simulate bracketing: scale radiance by a per-image shutter
+            # simulate bracketing: the RECORDED image is scene radiance
+            # scaled by the per-image shutter and clipped at the white
+            # level, exactly what the RawNeRF loss models
+            # (train_utils.py:529-536: min(1, pred * exposure) vs gt)
             exposures[i, 0] = float(rng.choice([0.25, 1.0, 4.0]))
-            img = img * 0.2     # linear radiance below clip level
+            img = np.minimum(1.0, img * 0.2 * exposures[i, 0])
         images[i] = img
 
     meta = SceneMeta(filenames=[f"synthetic_{i:03d}" for i in range(n_total)],

@@ -49,13 +49,22 @@ def test_proposal_training_learns(tmp_path, scene):
 
 
 def test_hdr_training_path(tmp_path):
+    """HDR bracketing: per-image exposures {0.25, 1, 4} exercise the
+    RawNeRF clipped loss (train_utils.py:529-536) and exposure-scaled
+    eval; PSNR must improve."""
     train_scene, val_scene = make_synthetic_scene(
-        n_train=8, n_val=1, H=32, W=32, hdr=True)
+        n_train=24, n_val=2, H=32, W=32, hdr=True)
+    assert set(np.unique(train_scene.exposures)) == {0.25, 1.0, 4.0}
     cfg = small_cfg()
     cfg = replace(cfg, data=replace(cfg.data, image_mode="HDR"))
     tr = Trainer(cfg, train_scene, val_scene, workspace=str(tmp_path))
-    out = tr.train(iters=100, log_every=50)
+    p0 = tr.evaluate()["psnr"]
+    out = tr.train(iters=300, log_every=150)
+    p1 = tr.evaluate()["psnr"]
+    print(f"HDR PSNR {p0:.2f} -> {p1:.2f}")
     assert np.isfinite(tr.stats["loss"][-1])
+    assert tr.stats["loss"][-1] < tr.stats["loss"][0] * 0.5
+    assert p1 > p0 + 2.0
     assert out["rays_per_sec"] > 0
 
 

@@ -44,6 +44,7 @@ def sample_ray_batch(
     ldirs=None,             # [n, 3] or None
     cam_near_far=None,      # [n, 2] or None
     mosaiced: bool = False,
+    patch_size: int = 1,
 ) -> Dict[str, jnp.ndarray]:
     """Sample a training ray bundle. Returns rays, GT pixels and per-ray
     conditioning, everything [num_rays, ...]."""
@@ -56,7 +57,17 @@ def sample_ray_batch(
         img_idx = jnp.broadcast_to(
             jax.random.randint(k_img, (1,), 0, n), (num_rays,))
 
-    flat = jax.random.randint(k_pix, (num_rays,), 0, H * W)
+    if patch_size > 1:
+        # square-patch sampling (train_utils.py:124-138): rays come in
+        # contiguous patch_size x patch_size blocks (for patch losses)
+        from raw_ngp_tpu.ops.rays import sample_pixel_indices
+        flat = sample_pixel_indices(k_pix, num_rays, H, W, patch_size)
+        # patches share one image each
+        n_patch = num_rays // (patch_size ** 2)
+        img_patch = jax.random.randint(k_img, (n_patch,), 0, n)
+        img_idx = jnp.repeat(img_patch, patch_size ** 2)
+    else:
+        flat = jax.random.randint(k_pix, (num_rays,), 0, H * W)
     rows = flat // W
     cols = flat % W
 

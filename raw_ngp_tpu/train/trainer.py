@@ -319,6 +319,14 @@ def make_eval_render(cfg: Config, spec: FieldSpec, chunk: int):
     return jax.jit(render_chunk)
 
 
+def dataclasses_replace_scene(scene, new_poses):
+    """SceneData with replaced poses (keeps poses_gt for evaluation)."""
+    import dataclasses as _dc
+    if scene.poses_gt is None:
+        scene = _dc.replace(scene, poses_gt=scene.poses.copy())
+    return _dc.replace(scene, poses=new_poses)
+
+
 class Trainer:
     """Host-side orchestration: epochs, eval cadence, checkpoints, logging
     (mirrors the responsibilities of reference Trainer,
@@ -336,6 +344,14 @@ class Trainer:
 
         self.train_scene = train_scene
         self.val_scene = val_scene
+        if cfg.pose_opt.identity:
+            # BARF-from-scratch: start every camera at the identity pose
+            # (camera_optimizers.py:99-100); ground truth stays in poses_gt
+            import numpy as _np
+            ident = _np.tile(_np.eye(4, dtype=_np.float32),
+                             (train_scene.n_images, 1, 1))
+            train_scene = dataclasses_replace_scene(train_scene, ident)
+            self.train_scene = train_scene
         self.scene_arrays = self._scene_to_device(train_scene)
         self.aabb = jnp.asarray(
             train_scene.pts_aabb if train_scene.pts_aabb is not None

@@ -299,20 +299,22 @@ def make_eval_render(cfg: Config, spec: FieldSpec, chunk: int):
     """Jitted chunk renderer for full-image eval (train_utils.py:592-607
     chunking; renderer.py:380-396 staged inference)."""
 
-    def render_chunk(params, state_grid, rays_o, rays_d, aabb, exposure,
+    def render_chunk(params, state_grid, rays_o, rays_d, aabb, annealing,
                      rays_ldir=None):
+        # eval uses the CURRENT annealing state, like the reference's
+        # eval_step (train_utils.py:488-489 keeps model.annealing live)
         if cfg.render.occupancy:
             from raw_ngp_tpu.render.occupancy import render_occupancy
             out = render_occupancy(
                 params, spec, rays_o, rays_d, aabb, state_grid,
                 key=None, bg_color=1.0 if cfg.render.background != "black"
                 else 0.0, cam_near_far=None, rays_ldir=rays_ldir,
-                annealing=1.0, training=False)
+                annealing=annealing, training=False)
         else:
             out = render_proposal(
                 params, spec, rays_o, rays_d, aabb, key=None,
                 bg_color=1.0 if cfg.render.background != "black" else 0.0,
-                cam_near_far=None, rays_ldir=rays_ldir, annealing=1.0,
+                cam_near_far=None, rays_ldir=rays_ldir, annealing=annealing,
                 training=False)
         return out["image"], out["depth"], out["weights_sum"]
 
@@ -474,8 +476,10 @@ class Trainer:
                 rd = jnp.pad(rd, ((0, pad), (0, 0)), constant_values=1.0)
             if ldir is not None:
                 ld = jnp.broadcast_to(jnp.asarray(ldir), ro.shape)
+            annealing = min(self.host_step / max(self.cfg.train.iters, 1),
+                            1.0)
             img, depth, _ = self._eval_render(params, grid, ro, rd,
-                                              self.aabb, None, ld)
+                                              self.aabb, annealing, ld)
             imgs.append(np.asarray(img[: e - s]))
             depths.append(np.asarray(depth[: e - s]))
         rgb = np.concatenate(imgs).reshape(H, W, 3)

@@ -97,3 +97,32 @@ def test_parallel_grads_match_equivalent_single_device():
     shards = [np.asarray(s.data) for s in leaf.addressable_shards]
     for s in shards[1:]:
         np.testing.assert_array_equal(shards[0], s)
+
+
+def test_parallel_eval_render():
+    """Sharded full-image eval: ray chunks split over the mesh, results
+    gathered (the all_gather analogue of train_utils.py:1043-1048)."""
+    from raw_ngp_tpu.parallel import make_parallel_eval_render
+    from raw_ngp_tpu.models import init_field
+
+    cfg = tiny_cfg(False)
+    spec = make_field_spec(cfg)
+    mesh = make_mesh()
+    params = replicate_to_mesh(
+        init_field(jax.random.PRNGKey(0), spec), mesh)
+    aabb = replicate_to_mesh(jnp.asarray([-1.5] * 3 + [1.5] * 3), mesh)
+    N = 1024                       # divides the 8-way mesh
+    rays_o = jnp.zeros((N, 3)).at[:, 2].set(2.0)
+    rays_d = jax.random.normal(jax.random.PRNGKey(1), (N, 3))
+    render = make_parallel_eval_render(cfg, spec, mesh, chunk=N // 8)
+    img, depth, ws = render(params, None, rays_o, rays_d, aabb)
+    assert img.shape == (N, 3)
+    assert np.all(np.isfinite(np.asarray(img)))
+    # must equal the single-device render
+    from raw_ngp_tpu.train import make_eval_render
+    single = make_eval_render(cfg, spec, N)
+    img1, _, _ = single(jax.device_get(params), None,
+                        jax.device_get(rays_o), jax.device_get(rays_d),
+                        jax.device_get(aabb), 1.0, None)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(img1),
+                               rtol=1e-4, atol=1e-5)

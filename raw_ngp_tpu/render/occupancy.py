@@ -28,6 +28,7 @@ budget and K defaults to the same ~64 points/ray average.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Optional
 
 import jax
@@ -159,22 +160,76 @@ def march_rays(
     return {"ts": ts, "deltas": deltas, "mask": mask}
 
 
-def _sorted_compact(values, slot_dump, m_pad: int):
-    """Scatter rows of ``values`` [M, D] to ``slot_dump`` [M] (non-
-    decreasing; dump index == m_pad) into a [m_pad + 1, D] buffer using
-    per-column sorted-unique scalar scatter-sets — the only scatter form
-    XLA:TPU runs at ~1 ns/slice."""
+def _sorted_compact(values, dest, m_pad: int):
+    """Scatter rows of ``values`` [M, D] into a strided [2*m_pad + 2, D]
+    buffer using per-column sorted-unique scalar scatter-sets (the only
+    scatter form XLA:TPU runs at ~1 ns/slice) and return the packed
+    [m_pad + 1, D] rows (last row = zero dummy).
+
+    ``dest`` must come from :func:`compaction_destinations`: kept sample
+    number c (1-based) writes row 2c, dropped samples write odd rows —
+    a genuinely NON-DECREASING index stream, so the indices_are_sorted
+    promise holds (dump-to-m_pad schemes interleave and violate it).
+    Duplicate writes land only on discarded odd rows.
+    """
     M, D = values.shape
     dnums = jax.lax.ScatterDimensionNumbers(
         update_window_dims=(), inserted_window_dims=(0,),
         scatter_dims_to_operand_dims=(0,))
     cols = []
     for d in range(D):
-        z = jnp.zeros((m_pad + 1,), values.dtype)
-        cols.append(jax.lax.scatter(
-            z, slot_dump[:, None], values[:, d], dnums,
-            indices_are_sorted=True, unique_indices=True))
-    return jnp.stack(cols, axis=-1)                      # [m_pad+1, D]
+        z = jnp.zeros((2 * m_pad + 2,), values.dtype)
+        buf = jax.lax.scatter(
+            z, dest[:, None], values[:, d], dnums,
+            indices_are_sorted=True, unique_indices=True)
+        cols.append(buf[2::2])                            # [m_pad] kept rows
+    packed = jnp.stack(cols, axis=-1)                     # [m_pad, D]
+    return jnp.concatenate(
+        [packed, jnp.zeros((1, D), values.dtype)], axis=0)  # dummy row
+
+
+def compaction_destinations(flat_keep, m_pad: int):
+    """(kept, dest, inv) for the strided compaction scheme.
+
+    kept: the first m_pad true entries of flat_keep.
+    dest [M]: monotone scatter destinations (kept -> 2c, dropped -> 2c+1,
+    clamped at the top) into the [2*m_pad + 2] strided buffer.
+    inv [M]: packed row per flat sample for the gather-expand (m_pad =
+    dummy row for dropped/invalid samples).
+    """
+    c = jnp.cumsum(flat_keep.astype(jnp.int32))           # inclusive count
+    kept = flat_keep & (c <= m_pad)
+    dest = jnp.where(kept, 2 * c,
+                     jnp.minimum(2 * c + 1, 2 * m_pad + 1))
+    inv = jnp.where(kept, c - 1, m_pad)
+    return kept, dest, inv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def expand_from_slots(packed, inv, dest, m_pad: int):
+    """Expand a packed [m_pad + 1, D] buffer back to flat samples via
+    ``inv`` [M] (m_pad = dummy row).
+
+    The default autodiff transpose of this gather is a scatter-ADD at
+    ``inv`` (~42 ns/slice on TPU). Each real slot appears in ``inv``
+    exactly once, so the true gradient is a permutation — computed here
+    with the ~1 ns monotone sorted-unique scatter-set via ``dest``.
+    """
+    return packed[inv]
+
+
+def _expand_fwd(packed, inv, dest, m_pad):
+    return packed[inv], (inv, dest, packed.shape)
+
+
+def _expand_bwd(m_pad, res, g):
+    inv, dest, packed_shape = res
+    g2 = g.reshape(len(inv), -1)
+    g_packed = _sorted_compact(g2, dest, m_pad)
+    return g_packed.reshape(packed_shape), None, None
+
+
+expand_from_slots.defvjp(_expand_fwd, _expand_bwd)
 
 
 def compact_samples(mask, m_pad: int, *arrays):
@@ -186,17 +241,14 @@ def compact_samples(mask, m_pad: int, *arrays):
     into [m_pad, D] buffers; the rest are dropped (their mask turns off,
     the analogue of the reference's max-step clamping).
 
-    Returns (kept_mask, inv_index, [compacted arrays...]).
-    ``inv_index`` maps each flat sample to its packed slot (m_pad for
-    dropped/invalid ones — a zero dummy row).
+    Returns (kept_mask, inv [M], dest [M], [compacted arrays...]);
+    compacted arrays are [m_pad + 1, D] with a zero dummy last row.
     """
     flat = mask.reshape(-1)
-    slot = jnp.cumsum(flat.astype(jnp.int32)) - 1
-    keep = flat & (slot < m_pad)
-    slot_dump = jnp.where(keep, slot, m_pad)
-    outs = [_sorted_compact(a.reshape(len(flat), -1), slot_dump, m_pad)
+    kept, dest, inv = compaction_destinations(flat, m_pad)
+    outs = [_sorted_compact(a.reshape(len(flat), -1), dest, m_pad)
             for a in arrays]
-    return keep.reshape(mask.shape), slot_dump, outs
+    return kept.reshape(mask.shape), inv, dest, outs
 
 
 def render_occupancy(
@@ -268,7 +320,7 @@ def render_occupancy(
         mask = mask & ((k_idx % stride) == 0)
         deltas = deltas * stride.astype(deltas.dtype)
         packs = [xyzs, dirs_nk] + ([ld_nk] if ld_nk is not None else [])
-        mask, inv, packed = compact_samples(mask, m_pad, *packs)
+        mask, inv, dest, packed = compact_samples(mask, m_pad, *packs)
         xyz_c, dirs_c = packed[0][:-1], packed[1][:-1]   # drop dummy row
         ld_c = packed[2][:-1] if ld_nk is not None else None
         # unfilled slots are zero rows; a zero direction NaNs the SH
@@ -281,11 +333,14 @@ def render_occupancy(
             ld_c = jnp.where(lnorm > 1e-8, ld_c, ez)
         sig_c, rgb_c = field_forward(params, spec, xyz_c, dirs_c, ld_c,
                                      annealing)
-        # expand back (dummy row 0 feeds dropped/invalid lanes)
-        sig_pad = jnp.concatenate([sig_c, jnp.zeros((1,), sig_c.dtype)])
-        rgb_pad = jnp.concatenate([rgb_c, jnp.zeros((1, 3), rgb_c.dtype)])
-        sigmas = sig_pad[inv].reshape(N, K)
-        rgbs = rgb_pad[inv].reshape(N, K, 3)
+        # expand back (dummy row feeds dropped/invalid lanes); the custom
+        # VJP keeps the transpose on the fast sorted-scatter path
+        sig_rgb = jnp.concatenate([sig_c[:, None], rgb_c], axis=-1)
+        padded = jnp.concatenate(
+            [sig_rgb, jnp.zeros((1, 4), sig_rgb.dtype)], axis=0)
+        out_flat = expand_from_slots(padded, inv, dest, m_pad)
+        sigmas = out_flat[:, 0].reshape(N, K)
+        rgbs = out_flat[:, 1:].reshape(N, K, 3)
     else:
         sigmas, rgbs = field_forward(params, spec, xyzs.reshape(-1, 3),
                                      dirs_nk.reshape(-1, 3),

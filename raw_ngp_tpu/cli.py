@@ -248,9 +248,25 @@ def args_to_config(args) :
     return cfg.validate()
 
 
+def _honor_platform_env():
+    """Apply JAX_PLATFORMS via jax.config: some environments install a
+    sitecustomize that force-registers an accelerator backend and tramples
+    the env var, so plain `JAX_PLATFORMS=cpu python -m raw_ngp_tpu.cli`
+    would silently run on the accelerator. The config update (post-import)
+    always wins."""
+    plat = os.environ.get("JAX_PLATFORMS_CLI") or os.environ.get(
+        "RAW_NGP_PLATFORM")
+    if not plat and os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+        plat = "cpu"
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
+
+
 def main(argv: Optional[list] = None):
     args = build_parser().parse_args(argv)
     cfg = args_to_config(args)
+    _honor_platform_env()
 
     from raw_ngp_tpu.data.providers import load_scene
     from raw_ngp_tpu.train.trainer import Trainer

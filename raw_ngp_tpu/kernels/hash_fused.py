@@ -1,26 +1,37 @@
-"""Fused hash-grid encode with a sort-based backward pass.
+"""Fused hash-grid encode: pair-slice gathers + a sort-based backward.
 
 Replaces jax.grad's default gather-transpose (an XLA scatter-add) for the
-hash table. Measured on a v5e chip, XLA scatter-add costs ~42 ns per corner
-regardless of sortedness flags — 1.4 s/step at the reference's 2^18-point
-budget — while scalar scatter-SET with sorted unique indices runs at
-~1.2 ns. This module therefore computes the table gradient as:
+hash table, and halves the gather/sort volume with an exact-semantics
+observation about the reference hash (gridencoder.cu:46-58):
 
-  1. corner gradient values  v = w * dL/dfeat           (VPU, cheap)
-  2. sort (corner index, v) pairs                        (lax.sort, ~120 ms)
-  3. inclusive cumsum of sorted v                        (~15 ms/channel)
-  4. segment totals at segment ends via an associative
-     "carry last defined value" scan (no gathers)
-  5. one scalar scatter-set per channel at the sorted,
-     unique segment-end keys                             (~40 ms/channel)
+  The per-dim hash primes are {1, 2654435761, 805459861} — dim 0's prime
+  is **1**. For any cell, the two x-corners (x0, y, z) and (x0+1, y, z)
+  therefore produce table indices {u, u XOR 1} in the hashed case (one of
+  x0/x0+1 is even, and even^1 == even+1), i.e. the row pair {2m, 2m+1};
+  in the dense (non-overflow) case they are {u, u+1}. Either way the two
+  corners live in a 2-row window, so ONE gather slice of shape [2, C]
+  (= 8 floats at C=4, still a single-slice cost on XLA:TPU) fetches BOTH.
+  Per (point, level) that is 4 slices instead of 8 gathers, and the
+  backward sorts 4 pair-records instead of 8 corner-records.
 
-This mirrors what the CUDA reference gets from hardware atomics
-(gridencoder.cu:334-347 atomicAdd) with deterministic, sorted accumulation
-(better than the reference: float atomics are order-nondeterministic).
+Backward (replacing CUDA atomicAdd, gridencoder.cu:334-347):
+
+  1. pair gradient values v0 = w0 * dL/dfeat, v1 = w1 * dL/dfeat   (VPU)
+  2. sort (pair base b, packed fp16 v0/v1 channels)                (lax.sort)
+  3. per-channel inclusive cumsum of sorted values
+  4. segment totals at segment ends -> strided monotone scatter-SET
+     (the only scatter form XLA:TPU executes fast)
+  5. rows gradient = G0 + shift(G1): base b accumulates v0 into row b and
+     v1 into row b+1, so the two segment-sum buffers combine with a one-row
+     shift — no conflicting scatter windows even where dense-level pairs
+     overlap between neighboring cells.
+
+fp16 pre-accumulation matches the reference exactly (its backward scatters
+half-precision atomics via half2 atomicAdd); accumulation stays fp32.
 
 Gradients wrt inputs (pose refinement path, gridencoder.cu:205-248 dy_dx)
-are requested with ``need_input_grads=True``; they recompute the corner
-gather in the backward pass instead of saving the 33M-corner residual.
+are requested with ``need_input_grads=True``; they recompute the pair
+gather in the backward pass instead of saving the corner-value residual.
 """
 
 from __future__ import annotations
@@ -35,11 +46,41 @@ import numpy as np
 from raw_ngp_tpu.ops.hashgrid import HashGridSpec, _level_indices, _smoothstep
 
 
-def _corner_indices_weights(x01, spec: HashGridSpec):
-    """Shared index/weight computation for all levels.
+def _pair_scheme_ok(spec: HashGridSpec) -> bool:
+    """The 2-row pair window holds for hash grids (XOR-by-1 structure,
+    power-of-two table mod) and dense non-overflow levels (stride-1 x).
+    A *tiled* grid whose dense index overflows wraps via mod and breaks
+    the window — fall back to per-corner records for those."""
+    if spec.gridtype == "hash":
+        return True
+    for lv in range(spec.num_levels):
+        res = spec.resolutions[lv]
+        hmap = spec.offsets[lv + 1] - spec.offsets[lv]
+        if res ** spec.input_dim > hmap:
+            return False
+    return True
 
-    Returns idx [B, L*2^D] int32 (flat table indices) and w [B, L*2^D]
-    float32 trilinear weights, with OOB rows' weights zeroed.
+
+def _frac_grid(x01, spec: HashGridSpec, lv: int):
+    res = spec.resolutions[lv]
+    if spec.align_corners:
+        pos = x01 * (res - 1)
+        grid = jnp.minimum(jnp.floor(pos), res - 2)
+    else:
+        pos = jnp.clip(x01 * res - 0.5, 0.0, res - 1)
+        grid = jnp.floor(pos)
+    frac = pos - grid
+    if spec.interpolation == "smoothstep":
+        frac = _smoothstep(frac)
+    return frac, grid.astype(jnp.int32), res
+
+
+def _corner_indices_weights(x01, spec: HashGridSpec):
+    """Per-corner index/weight computation (oracle layout, used by the
+    input-gradient recompute and the tiled-overflow fallback).
+
+    Returns idx [B, L*2^D] int32 and w [B, L*2^D] float32 with OOB rows'
+    weights zeroed.
     """
     B, D = x01.shape
     L = spec.num_levels
@@ -55,17 +96,7 @@ def _corner_indices_weights(x01, spec: HashGridSpec):
 
     all_idx, all_w = [], []
     for lv in range(L):
-        res = spec.resolutions[lv]
-        if spec.align_corners:
-            pos = x01 * (res - 1)
-            grid = jnp.minimum(jnp.floor(pos), res - 2)
-        else:
-            pos = jnp.clip(x01 * res - 0.5, 0.0, res - 1)
-            grid = jnp.floor(pos)
-        frac = pos - grid
-        if spec.interpolation == "smoothstep":
-            frac = _smoothstep(frac)
-        grid = grid.astype(jnp.int32)
+        frac, grid, res = _frac_grid(x01, spec, lv)
         corner = jnp.minimum(grid[:, None, :] + bits_j.astype(jnp.int32),
                              res - 1)
         idx = _level_indices(spec, lv, corner).astype(jnp.int32)
@@ -78,13 +109,116 @@ def _corner_indices_weights(x01, spec: HashGridSpec):
     return idx, w
 
 
-def _forward(params, idx, w, spec: HashGridSpec):
+def _pair_indices_weights(x01, spec: HashGridSpec):
+    """Pair-slice index/weight computation.
+
+    Returns:
+      base [B, L*2^(D-1)] int32 — start row of each 2-row gather window,
+        clamped to n_params-2 so every [2, C] slice is in-bounds;
+      w0, w1 [B, L*2^(D-1)] float32 — interpolation weight routed to row
+        ``base`` / ``base+1`` (clamped corners can land both weights on
+        one row; the routing indicators absorb every case).
+    """
+    B, D = x01.shape
+    L = spec.num_levels
+    n_half = 1 << (D - 1)
+    x01 = x01.astype(jnp.float32)
+
+    inb = jnp.all((x01 >= 0.0) & (x01 <= 1.0), axis=-1, keepdims=True)
+    x01 = jnp.where(inb, x01, 0.5)
+    inb_f = inb.astype(jnp.float32)
+
+    # bit patterns over dims 1..D-1 for the 2^(D-1) pair groups
+    hbits = np.array([[(c >> (d - 1)) & 1 for d in range(1, D)]
+                      for c in range(n_half)], dtype=np.float32)
+    hb = jnp.asarray(hbits)                                  # [2^(D-1), D-1]
+    hb_i = hb.astype(jnp.int32)
+    top = spec.n_params - 2
+
+    bases, w0s, w1s = [], [], []
+    for lv in range(L):
+        frac, grid, res = _frac_grid(x01, spec, lv)
+        # rest-dims corner coords [B, 2^(D-1), D-1] and weights [B, 2^(D-1)]
+        rest = jnp.minimum(grid[:, None, 1:] + hb_i, res - 1)
+        w_rest = jnp.prod(hb * frac[:, None, 1:]
+                          + (1.0 - hb) * (1.0 - frac[:, None, 1:]), axis=-1)
+        x_lo = jnp.broadcast_to(grid[:, None, :1], rest.shape[:-1] + (1,))
+        x_hi = jnp.minimum(x_lo + 1, res - 1)
+        cu = jnp.concatenate([x_lo, rest], axis=-1)
+        cv = jnp.concatenate([x_hi, rest], axis=-1)
+        u = _level_indices(spec, lv, cu).astype(jnp.int32)   # [B, 2^(D-1)]
+        v = _level_indices(spec, lv, cv).astype(jnp.int32)
+        w_u = (1.0 - frac[:, None, 0]) * w_rest
+        w_v = frac[:, None, 0] * w_rest
+
+        b = jnp.minimum(jnp.minimum(u, v), top)
+        # route each corner weight to its slice position (0 or 1)
+        w0 = w_u * (u == b) + w_v * (v == b)
+        w1 = w_u * (u == b + 1) + w_v * (v == b + 1)
+        bases.append(b)
+        w0s.append(w0)
+        w1s.append(w1)
+
+    base = jnp.concatenate(bases, axis=1)
+    w0 = jnp.concatenate(w0s, axis=1) * inb_f
+    w1 = jnp.concatenate(w1s, axis=1) * inb_f
+    return base, w0, w1
+
+
+def _pair_gather(params, base):
+    """[B, P] bases -> [B, P, 2, C] table slices (one slice per pair)."""
+    B, P = base.shape
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2), collapsed_slice_dims=(), start_index_map=(0,))
+    flat = jax.lax.gather(
+        params, base.reshape(-1, 1), dn, (2, params.shape[1]),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)   # bases clamped
+    return flat.reshape(B, P, 2, params.shape[1])
+
+
+def _pair_forward(params, base, w0, w1, spec: HashGridSpec):
+    B = base.shape[0]
+    L, C = spec.num_levels, spec.level_dim
+    n_half = base.shape[1] // L
+    vals = _pair_gather(params, base)                       # [B, P, 2, C]
+    dt = params.dtype
+    feats = (vals[:, :, 0, :] * w0[..., None].astype(dt)
+             + vals[:, :, 1, :] * w1[..., None].astype(dt))
+    return feats.reshape(B, L, n_half, C).sum(axis=2).reshape(B, L * C)
+
+
+def _corner_forward(params, idx, w, spec: HashGridSpec):
     B = idx.shape[0]
     L, C = spec.num_levels, spec.level_dim
     n_corners = idx.shape[1] // L
-    vals = params[idx]                                    # [B, L*2^D, C]
+    vals = params[idx]                                      # [B, L*2^D, C]
     feats = (vals * w[..., None].astype(params.dtype))
     return feats.reshape(B, L, n_corners, C).sum(axis=2).reshape(B, L * C)
+
+
+def _pack_f16_pairs(chans):
+    """List of [M] f32 arrays -> list of [M] u32 sort payloads, two fp16
+    values per word (halves the sorted payload)."""
+    if len(chans) % 2 == 1:
+        chans = chans + [jnp.zeros_like(chans[0])]
+    packed = []
+    for c in range(0, len(chans), 2):
+        hi = jax.lax.bitcast_convert_type(
+            chans[c].astype(jnp.float16), jnp.uint16).astype(jnp.uint32)
+        lo = jax.lax.bitcast_convert_type(
+            chans[c + 1].astype(jnp.float16), jnp.uint16).astype(jnp.uint32)
+        packed.append((hi << 16) | lo)
+    return packed
+
+
+def _unpack_f16_pairs(packed, n):
+    chans = []
+    for ps in packed:
+        hi = (ps >> 16).astype(jnp.uint16)
+        lo = (ps & 0xFFFF).astype(jnp.uint16)
+        chans.append(jax.lax.bitcast_convert_type(hi, jnp.float16))
+        chans.append(jax.lax.bitcast_convert_type(lo, jnp.float16))
+    return chans[:n]
 
 
 def _segment_sum_sorted_scatter(keys_sorted, val_channels, n_rows: int):
@@ -138,56 +272,80 @@ def _segment_sum_sorted_scatter(keys_sorted, val_channels, n_rows: int):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def hash_encode_fused(params, x01, spec: HashGridSpec,
                       need_input_grads: bool = False):
-    """Drop-in replacement for ops.hashgrid.hash_encode_01 with the
-    sort-based table gradient. x01 in [0, 1]^D."""
+    """Drop-in replacement for ops.hashgrid.hash_encode_01 with pair-slice
+    gathers and the sort-based table gradient. x01 in [0, 1]^D."""
+    if _pair_scheme_ok(spec):
+        base, w0, w1 = _pair_indices_weights(x01, spec)
+        return _pair_forward(params, base, w0, w1, spec)
     idx, w = _corner_indices_weights(x01, spec)
-    return _forward(params, idx, w, spec)
+    return _corner_forward(params, idx, w, spec)
 
 
 def _fused_fwd(params, x01, spec, need_input_grads):
+    if _pair_scheme_ok(spec):
+        base, w0, w1 = _pair_indices_weights(x01, spec)
+        out = _pair_forward(params, base, w0, w1, spec)
+        return out, (params, x01, base, w0, w1)
     idx, w = _corner_indices_weights(x01, spec)
-    out = _forward(params, idx, w, spec)
+    out = _corner_forward(params, idx, w, spec)
     return out, (params, x01, idx, w)
 
 
-def _fused_bwd(spec, need_input_grads, res, g):
+def _pair_bwd_table(spec, res, g):
+    """Table gradient through the pair scheme: sort pair records, segment-
+    sum 2C channels, combine G0 + shift(G1)."""
+    params, x01, base, w0, w1 = res
+    B = base.shape[0]
+    L, C = spec.num_levels, spec.level_dim
+    n_half = base.shape[1] // L
+    M = B * L * n_half
+
+    g_lc = g.reshape(B, L, 1, C).astype(jnp.float32)        # [B, L, 1, C]
+    w0r = w0.reshape(B, L, n_half)
+    w1r = w1.reshape(B, L, n_half)
+
+    keys = base.reshape(M)
+    chans = ([(w0r * g_lc[..., c]).reshape(M) for c in range(C)]
+             + [(w1r * g_lc[..., c]).reshape(M) for c in range(C)])
+    packed = _pack_f16_pairs(chans)
+    sorted_ops = jax.lax.sort([keys] + packed, num_keys=1)
+    keys_s = sorted_ops[0]
+    val_channels = _unpack_f16_pairs(sorted_ops[1:], 2 * C)
+    totals = _segment_sum_sorted_scatter(keys_s, val_channels,
+                                         spec.n_params)      # [n, 2C]
+    g0, g1 = totals[:, :C], totals[:, C:]
+    # v1 recorded at base b belongs to row b+1
+    grad = g0 + jnp.concatenate([jnp.zeros_like(g1[:1]), g1[:-1]], axis=0)
+    return grad.astype(params.dtype)
+
+
+def _corner_bwd_table(spec, res, g):
     params, x01, idx, w = res
     B = idx.shape[0]
     L, C = spec.num_levels, spec.level_dim
     n_corners = idx.shape[1] // L
     M = B * L * n_corners
 
-    # corner gradient values per channel: v_c = w * g[..., c], kept as 1-D
-    # [M] arrays (2-D [M, C] layouts waste vector lanes on TPU)
     g_lc = g.reshape(B, L, 1, C).astype(jnp.float32)
     w_r = w.reshape(B, L, n_corners)
-
     keys = idx.reshape(M)
-    # pack channel PAIRS as fp16 into uint32 sort operands: halves the
-    # sorted payload. fp16 pre-accumulation matches the reference exactly
-    # (its backward scatters half-precision atomics, gridencoder.cu:334-347
-    # half2 atomicAdd); accumulation below stays fp32.
     chans = [(w_r * g_lc[..., c]).reshape(M) for c in range(C)]
-    if C % 2 == 1:
-        chans.append(jnp.zeros_like(chans[0]))
-    packed_ops = []
-    for c in range(0, len(chans), 2):
-        u = jax.lax.bitcast_convert_type(
-            chans[c].astype(jnp.float16), jnp.uint16).astype(jnp.uint32)
-        w = jax.lax.bitcast_convert_type(
-            chans[c + 1].astype(jnp.float16), jnp.uint16).astype(jnp.uint32)
-        packed_ops.append((u << 16) | w)
-    sorted_ops = jax.lax.sort([keys] + packed_ops, num_keys=1)
-    keys_s = sorted_ops[0]
-    val_channels = []
-    for ps in sorted_ops[1:]:
-        u0 = (ps >> 16).astype(jnp.uint16)
-        u1 = (ps & 0xFFFF).astype(jnp.uint16)
-        val_channels.append(jax.lax.bitcast_convert_type(u0, jnp.float16))
-        val_channels.append(jax.lax.bitcast_convert_type(u1, jnp.float16))
-    grad_table = _segment_sum_sorted_scatter(keys_s, val_channels[:C],
-                                             spec.n_params)
-    grad_table = grad_table.astype(params.dtype)
+    packed = _pack_f16_pairs(chans)
+    sorted_ops = jax.lax.sort([keys] + packed, num_keys=1)
+    val_channels = _unpack_f16_pairs(sorted_ops[1:], C)
+    grad = _segment_sum_sorted_scatter(sorted_ops[0], val_channels,
+                                       spec.n_params)
+    return grad.astype(params.dtype)
+
+
+def _fused_bwd(spec, need_input_grads, res, g):
+    pair = _pair_scheme_ok(spec)
+    if pair:
+        params, x01, base, w0, w1 = res
+        grad_table = _pair_bwd_table(spec, res, g)
+    else:
+        params, x01, idx, w = res
+        grad_table = _corner_bwd_table(spec, res, g)
 
     if not need_input_grads:
         return grad_table, jnp.zeros_like(x01)
@@ -195,13 +353,30 @@ def _fused_bwd(spec, need_input_grads, res, g):
     # input grads (pose path): differentiate through the weights with the
     # gathered values treated as constants (exactly the reference's dy_dx
     # contraction, gridencoder.cu:352-378). Recompute the gather here
-    # rather than saving a [M, C] residual.
-    vals = jax.lax.stop_gradient(params)[idx]              # [B, L*2^D, C]
+    # rather than saving the corner-value residual.
+    B = x01.shape[0]
+    L, C = spec.num_levels, spec.level_dim
+    frozen = jax.lax.stop_gradient(params)
+    if pair:
+        vals = _pair_gather(frozen, base)                    # [B, P, 2, C]
+        n_half = base.shape[1] // L
 
-    def weights_path(x):
-        _, w2 = _corner_indices_weights(x, spec)
-        feats = (vals * w2[..., None].astype(vals.dtype))
-        return feats.reshape(B, L, n_corners, C).sum(axis=2).reshape(B, L * C)
+        def weights_path(x):
+            _, w0x, w1x = _pair_indices_weights(x, spec)
+            dt = vals.dtype
+            feats = (vals[:, :, 0, :] * w0x[..., None].astype(dt)
+                     + vals[:, :, 1, :] * w1x[..., None].astype(dt))
+            return feats.reshape(B, L, n_half, C).sum(axis=2).reshape(
+                B, L * C)
+    else:
+        vals = frozen[idx]
+        n_corners = idx.shape[1] // L
+
+        def weights_path(x):
+            _, w2 = _corner_indices_weights(x, spec)
+            feats = (vals * w2[..., None].astype(vals.dtype))
+            return feats.reshape(B, L, n_corners, C).sum(axis=2).reshape(
+                B, L * C)
 
     _, vjp = jax.vjp(weights_path, x01)
     (grad_x,) = vjp(g)

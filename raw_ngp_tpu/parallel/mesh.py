@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from raw_ngp_tpu.config import Config
@@ -113,7 +113,7 @@ def make_parallel_train_step(cfg: Config, spec: FieldSpec, net_tx, pose_tx,
     sharded = shard_map(per_device, mesh=mesh,
                         in_specs=(P(), P(), P()),
                         out_specs=(P(), P()),
-                        check_rep=False)
+                        check_vma=False)
     return jax.jit(sharded, donate_argnums=(0,))
 
 
@@ -138,5 +138,5 @@ def make_parallel_eval_render(cfg: Config, spec: FieldSpec, mesh: Mesh,
     sharded = shard_map(per_device, mesh=mesh,
                         in_specs=(P(), P(), P(axis), P(axis), P()),
                         out_specs=(P(axis), P(axis), P(axis)),
-                        check_rep=False)
+                        check_vma=False)
     return jax.jit(sharded)

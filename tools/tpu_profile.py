@@ -1,0 +1,279 @@
+"""TPU cost profiling: train-step stage breakdown + primitive microbenches.
+
+Usage (on the real TPU chip):
+  python tools/tpu_profile.py micro   # gather/scatter/sort primitive costs
+  python tools/tpu_profile.py step    # stage breakdown of the train step
+
+All timing follows the axon-tunnel rules (CLAUDE.md): everything jitted,
+N async dispatches chained, one jax.device_get at the end (plain
+block_until_ready returns early on the tunnel backend).
+"""
+
+import argparse
+import time
+
+import numpy as np
+
+
+def timeit(fn, *args, n=20, warmup=2, **kw):
+    """Median-of-one wall time per call over n chained dispatches."""
+    import jax
+    out = None
+    for _ in range(warmup):
+        out = fn(*args, **kw)
+    jax.device_get(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+    t0 = time.time()
+    for _ in range(n):
+        out = fn(*args, **kw)
+    jax.device_get(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+    return (time.time() - t0) / n
+
+
+def micro():
+    import jax
+    import jax.numpy as jnp
+
+    key = jax.random.PRNGKey(0)
+    M = 1 << 24            # 16.7M, the per-step corner count at 2^18 pts
+    Mp = M // 2            # pair count
+    R = 1 << 19            # one level's table rows
+
+    print(f"== gather: [{R}x8] f32 table, varying slice shape ==")
+    table8 = jax.random.normal(key, (R, 8), jnp.float32)
+    for name, midx, slice_rows, slice_cols, m in [
+        ("slice (1,4) x 16.7M  [current: 1 corner/gather]", None, 1, 4, M),
+        ("slice (1,8) x 8.4M   [pair, relayout]", None, 1, 8, Mp),
+        ("slice (2,4) x 8.4M   [pair, no relayout]", None, 2, 4, Mp),
+        ("slice (2,8) x 8.4M   [quad?]", None, 2, 8, Mp),
+        ("slice (1,8) x 16.7M  [wide per-corner]", None, 1, 8, M),
+    ]:
+        idx = jax.random.randint(jax.random.fold_in(key, m + slice_rows),
+                                 (m, 1), 0, R - 2, jnp.int32)
+
+        def g(t, i, sr=slice_rows, sc=slice_cols):
+            dn = jax.lax.GatherDimensionNumbers(
+                offset_dims=(1, 2), collapsed_slice_dims=(),
+                start_index_map=(0,))
+            out = jax.lax.gather(t, i, dn, (sr, sc),
+                                 mode=jax.lax.GatherScatterMode.CLIP)
+            return out.sum()
+
+        gj = jax.jit(g)
+        dt = timeit(gj, table8, idx, n=10)
+        print(f"  {name}: {dt*1e3:8.2f} ms  ({dt/m*1e9:6.2f} ns/slice)")
+
+    print("== sort: variadic u32 vs packed u64 ==")
+    for name, nkeys, nops, m, dtype in [
+        ("u32 key + 2x u32 payload, 16.7M [current bwd]", 1, 3, M, jnp.uint32),
+        ("u32 key + 2x u32 payload, 8.4M", 1, 3, Mp, jnp.uint32),
+        ("u32 key + 4x u32 payload, 8.4M [pair bwd]", 1, 5, Mp, jnp.uint32),
+        ("u32 key + 1x u32 payload, 8.4M", 1, 2, Mp, jnp.uint32),
+        ("u64 single operand, 8.4M", 1, 1, Mp, jnp.uint64),
+    ]:
+        ops = [jax.random.randint(jax.random.fold_in(key, 77 + i), (m,),
+                                  0, 1 << 20, jnp.int32).astype(jnp.uint32)
+               for i in range(nops)]
+        if dtype == jnp.uint64:
+            try:
+                ops = [o.astype(jnp.uint64) for o in ops]
+            except Exception:
+                print(f"  {name}: u64 unavailable (x64 disabled)")
+                continue
+
+        def s(*os):
+            r = jax.lax.sort(list(os), num_keys=nkeys)
+            return r[0]
+
+        sj = jax.jit(s)
+        try:
+            dt = timeit(sj, *ops, n=5)
+            print(f"  {name}: {dt*1e3:8.2f} ms  ({dt/m*1e9:6.2f} ns/elem)")
+        except Exception as e:
+            print(f"  {name}: FAILED {type(e).__name__}")
+
+    print("== scatter-SET monotone sorted unique: scalar vs wide ==")
+    rows = 3 * (1 << 21)
+    for name, width, m, dt_ in [
+        ("scalar f32, 16.7M x1ch", 0, M, jnp.float32),
+        ("width-4 f32, 8.4M", 4, Mp, jnp.float32),
+        ("width-8 f32, 8.4M", 8, Mp, jnp.float32),
+        ("width-8 fp16, 8.4M", 8, Mp, jnp.float16),
+        ("scalar f32, 8.4M", 0, Mp, jnp.float32),
+    ]:
+        base = np.sort(np.random.randint(0, rows - 8, size=m).astype(
+            np.int32))
+        dest = jnp.asarray(base)[:, None]
+        if width == 0:
+            upd = jax.random.normal(key, (m,), dt_)
+            dnums = jax.lax.ScatterDimensionNumbers(
+                update_window_dims=(), inserted_window_dims=(0,),
+                scatter_dims_to_operand_dims=(0,))
+            z = jnp.zeros((rows,), dt_)
+        else:
+            upd = jax.random.normal(key, (m, width), dt_)
+            dnums = jax.lax.ScatterDimensionNumbers(
+                update_window_dims=(1,), inserted_window_dims=(0,),
+                scatter_dims_to_operand_dims=(0,))
+            z = jnp.zeros((rows, width), dt_)
+
+        def sc(zz, d, u):
+            return jax.lax.scatter(zz, d, u, dnums,
+                                   indices_are_sorted=True,
+                                   unique_indices=True,
+                                   mode=jax.lax.GatherScatterMode.CLIP).sum()
+
+        scj = jax.jit(sc)
+        try:
+            dt = timeit(scj, z, dest, upd, n=5)
+            print(f"  {name}: {dt*1e3:8.2f} ms  ({dt/m*1e9:6.2f} ns/slice)")
+        except Exception as e:
+            print(f"  {name}: FAILED {type(e).__name__}: {e}")
+
+    print("== 2-D .at[rows,slot].set (march compaction pattern) ==")
+    N, S, K = 8192, 512, 64
+    occ = jax.random.uniform(key, (N, S)) < 0.15
+    tc = jax.random.normal(key, (N, S))
+
+    def march_scatter_2d(occ, t_cand):
+        slot = jnp.cumsum(occ.astype(jnp.int32), axis=-1) - 1
+        keep = occ & (slot < K)
+        slot = jnp.where(keep, slot, K)
+        rows_ = jnp.broadcast_to(jnp.arange(N)[:, None], (N, S))
+        ts = jnp.zeros((N, K + 1), jnp.float32).at[rows_, slot].set(
+            t_cand, mode="drop")[:, :K]
+        return ts.sum()
+
+    def march_scatter_flat(occ, t_cand):
+        # strided monotone scheme: kept c-th (1-based) -> row*(2K+2)+2c,
+        # dropped -> odd slots (duplicates land on discarded slots)
+        c = jnp.cumsum(occ.astype(jnp.int32), axis=-1)
+        kept = occ & (c <= K)
+        dest = jnp.where(kept, 2 * c, jnp.minimum(2 * c + 1, 2 * K + 1))
+        dest = dest + (2 * K + 2) * jnp.arange(N)[:, None]
+        dnums = jax.lax.ScatterDimensionNumbers(
+            update_window_dims=(), inserted_window_dims=(0,),
+            scatter_dims_to_operand_dims=(0,))
+        z = jnp.zeros((N * (2 * K + 2),), jnp.float32)
+        buf = jax.lax.scatter(z, dest.reshape(-1, 1), t_cand.reshape(-1),
+                              dnums, indices_are_sorted=True,
+                              unique_indices=True)
+        ts = buf.reshape(N, 2 * K + 2)[:, 2:2 * K + 2:2]
+        return ts.sum()
+
+    for name, fn in [("2-D .at[].set", march_scatter_2d),
+                     ("flat strided monotone", march_scatter_flat)]:
+        dt = timeit(jax.jit(fn), occ, tc, n=10)
+        print(f"  {name}: {dt*1e3:8.2f} ms")
+
+    print("== cumsum 1-D ==")
+    v = jax.random.normal(key, (M,), jnp.float32)
+    dt = timeit(jax.jit(lambda x: jnp.cumsum(x).sum()), v, n=10)
+    print(f"  cumsum 16.7M f32: {dt*1e3:8.2f} ms ({dt/M*1e9:5.2f} ns/elem)")
+
+
+def step():
+    import jax
+    import jax.numpy as jnp
+    from dataclasses import replace
+
+    from raw_ngp_tpu.config import Config
+    from raw_ngp_tpu.data import make_synthetic_scene
+    from raw_ngp_tpu.train import Trainer
+    from raw_ngp_tpu.train.trainer import make_loss_fn
+
+    cfg = Config().with_preset_O().with_tpu_profile()
+    cfg = replace(cfg, train=replace(cfg.train, fp16=True, num_rays=8192))
+    cfg = cfg.validate()
+    train_scene, val_scene = make_synthetic_scene(n_train=36, n_val=2,
+                                                  H=128, W=128)
+    tr = Trainer(cfg, train_scene, val_scene, workspace="/tmp/prof_ws")
+    tr.train(iters=40, log_every=10 ** 9)   # warmup: compiles + grid state
+
+    t_step = timeit(tr._train_step, tr.state, tr.scene_arrays, tr.aabb,
+                    n=10, warmup=1)
+    print(f"full train step:       {t_step*1e3:8.1f} ms")
+
+    # loss fwd and fwd+bwd
+    loss_fn = make_loss_fn(cfg, tr.spec, cfg.train.num_rays)
+    st = tr.state
+    key = jax.random.PRNGKey(3)
+
+    def fwd(params):
+        l, _ = loss_fn(params, None, st, tr.scene_arrays, tr.aabb,
+                       key, key, 1.0, True)
+        return l
+
+    fwd_j = jax.jit(fwd)
+    t_fwd = timeit(fwd_j, st.params, n=10)
+    print(f"loss forward:          {t_fwd*1e3:8.1f} ms")
+
+    grad_j = jax.jit(lambda p: jax.value_and_grad(fwd)(p)[0])
+    t_fb = timeit(grad_j, st.params, n=10)
+    print(f"loss fwd+bwd:          {t_fb*1e3:8.1f} ms "
+          f"(bwd ~{(t_fb-t_fwd)*1e3:.1f}, opt+ema ~{(t_step-t_fb)*1e3:.1f})")
+
+    # march alone
+    from raw_ngp_tpu.render.occupancy import march_rays
+    from raw_ngp_tpu.ops.rays import near_far_from_aabb
+    N = cfg.train.num_rays
+    ro = jax.random.uniform(key, (N, 3), minval=-1.5, maxval=1.5)
+    rd = jax.random.normal(jax.random.fold_in(key, 1), (N, 3))
+    rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    nears, fars = near_far_from_aabb(ro, rd, tr.aabb, cfg.render.min_near)
+
+    def march(bf):
+        m = march_rays(ro, rd, bf, nears, fars, cfg.render.bound,
+                       cfg.render.contract, cfg.render.grid_size,
+                       cfg.cascades, cfg.render.march_candidates,
+                       cfg.render.samples_per_ray, key=key)
+        return m["ts"].sum() + m["mask"].sum()
+
+    t_march = timeit(jax.jit(march), tr.state.density_bitfield, n=10)
+    print(f"march_rays:            {t_march*1e3:8.1f} ms")
+
+    # hash encode fwd / fwd+bwd at the compacted point budget
+    from raw_ngp_tpu.kernels.hash_fused import hash_encode_fused
+    P = 1 << 18
+    x01 = jax.random.uniform(key, (P, 3))
+    gspec = tr.spec.grid_spec
+    gp = tr.state.params["grid"]
+
+    enc_f = jax.jit(lambda p, x: hash_encode_fused(p, x, gspec, False).sum())
+    t_ef = timeit(enc_f, gp, x01, n=10)
+    print(f"hash encode fwd  2^18: {t_ef*1e3:8.1f} ms")
+    enc_g = jax.jit(lambda p, x: jax.grad(
+        lambda q: hash_encode_fused(q, x, gspec, False).sum())(p).sum())
+    t_eg = timeit(enc_g, gp, x01, n=10)
+    print(f"hash encode f+b  2^18: {t_eg*1e3:8.1f} ms")
+
+    # field (encode+MLPs) fwd / fwd+bwd on the m_pad compact batch
+    from raw_ngp_tpu.models.ngp import field_forward
+    m_pad = max(int(N * cfg.render.samples_per_ray
+                    * cfg.render.compact_ratio) // 128 * 128, 128)
+    xc = jax.random.uniform(jax.random.fold_in(key, 9), (m_pad, 3),
+                            minval=-1, maxval=1)
+    dc = jax.random.normal(jax.random.fold_in(key, 10), (m_pad, 3))
+    dc = dc / jnp.linalg.norm(dc, axis=-1, keepdims=True)
+
+    def ff(params):
+        sig, rgb = field_forward(params, tr.spec, xc, dc, None, 1.0)
+        return sig.sum() + rgb.sum()
+
+    t_ff = timeit(jax.jit(ff), st.params, n=10)
+    print(f"field fwd   [{m_pad}]: {t_ff*1e3:8.1f} ms")
+    t_fg = timeit(jax.jit(lambda p: jax.grad(ff)(p)["grid"].sum()),
+                  st.params, n=10)
+    print(f"field f+b   [{m_pad}]: {t_fg*1e3:8.1f} ms")
+
+    # grid refresh (partial branch)
+    t_gr = timeit(tr._grid_update, tr.state, 100, n=5, warmup=1)
+    print(f"grid refresh (partial):{t_gr*1e3:8.1f} ms "
+          f"(/{cfg.render.update_extra_interval} steps = "
+          f"{t_gr*1e3/cfg.render.update_extra_interval:.1f} ms/step)")
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("mode", choices=["micro", "step"])
+    a = ap.parse_args()
+    (micro if a.mode == "micro" else step)()

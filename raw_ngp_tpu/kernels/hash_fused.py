@@ -46,19 +46,18 @@ import numpy as np
 from raw_ngp_tpu.ops.hashgrid import HashGridSpec, _level_indices, _smoothstep
 
 
+def _level_is_dense(spec: HashGridSpec, lv: int) -> bool:
+    """Dense (non-overflow) level: the flat index is pure stride
+    arithmetic, so the two x-corners are ALWAYS at rows {i, i+1} — the
+    2-row pair window is exact for every cell. Hashed levels only pair for
+    even x0 (odd^1 != odd+1), so they keep per-corner records."""
+    res = spec.resolutions[lv]
+    hmap = spec.offsets[lv + 1] - spec.offsets[lv]
+    return res ** spec.input_dim <= hmap
+
+
 def _pair_scheme_ok(spec: HashGridSpec) -> bool:
-    """The 2-row pair window holds for hash grids (XOR-by-1 structure,
-    power-of-two table mod) and dense non-overflow levels (stride-1 x).
-    A *tiled* grid whose dense index overflows wraps via mod and breaks
-    the window — fall back to per-corner records for those."""
-    if spec.gridtype == "hash":
-        return True
-    for lv in range(spec.num_levels):
-        res = spec.resolutions[lv]
-        hmap = spec.offsets[lv + 1] - spec.offsets[lv]
-        if res ** spec.input_dim > hmap:
-            return False
-    return True
+    return all(_level_is_dense(spec, lv) for lv in range(spec.num_levels))
 
 
 def _frac_grid(x01, spec: HashGridSpec, lv: int):

@@ -83,6 +83,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--adaptive_num_rays", action="store_true")
     p.add_argument("--num_points", type=int, default=2 ** 18)
 
+    # parallelism: data-parallel ray sharding over the device mesh
+    p.add_argument("--n_devices", type=int, default=0,
+                   help="device-mesh size for data-parallel training; "
+                        "0 = all accelerator devices, 1 = single device")
+
     # regularizers
     p.add_argument("--lambda_entropy", type=float, default=0.0)
     p.add_argument("--lambda_tv", type=float, default=0.0)
@@ -162,6 +167,7 @@ def args_to_config(args) :
         DataConfig,
         MeshConfig,
         ModelConfig,
+        ParallelConfig,
         PoseOptConfig,
         RenderConfig,
         TrainConfig,
@@ -228,6 +234,7 @@ def args_to_config(args) :
             visibility_culling=args.mesh_visibility_culling,
             visibility_mask_dilation=args.visibility_mask_dilation,
             clean_min_f=args.clean_min_f, clean_min_d=args.clean_min_d),
+        parallel=ParallelConfig(num_devices=args.n_devices),
         workspace=args.workspace, ckpt=args.ckpt)
 
     if args.lightstage:

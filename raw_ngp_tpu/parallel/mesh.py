@@ -126,17 +126,36 @@ def replicate_to_mesh(tree, mesh: Mesh):
 def make_parallel_eval_render(cfg: Config, spec: FieldSpec, mesh: Mesh,
                               chunk: int, axis: str = "dp"):
     """Shard a ray chunk across the mesh for full-image eval; gather the
-    shards back (the all_gather analogue of train_utils.py:1043-1048)."""
+    shards back (the all_gather analogue of train_utils.py:1043-1048).
+
+    Same call signature as trainer.make_eval_render so the Trainer swaps
+    it in transparently: (params, grid, rays_o, rays_d, aabb, annealing,
+    rays_ldir=None)."""
     from raw_ngp_tpu.train.trainer import make_eval_render
     render = make_eval_render(cfg, spec, chunk)
 
-    def per_device(params, grid, rays_o, rays_d, aabb):
-        img, depth, ws = render(params, grid, rays_o, rays_d, aabb, None,
-                                None)
-        return img, depth, ws
+    def per_device(params, grid, rays_o, rays_d, aabb, annealing):
+        return render(params, grid, rays_o, rays_d, aabb, annealing, None)
 
-    sharded = shard_map(per_device, mesh=mesh,
-                        in_specs=(P(), P(), P(axis), P(axis), P()),
-                        out_specs=(P(axis), P(axis), P(axis)),
-                        check_vma=False)
-    return jax.jit(sharded)
+    def per_device_ldir(params, grid, rays_o, rays_d, aabb, annealing,
+                        ldir):
+        return render(params, grid, rays_o, rays_d, aabb, annealing, ldir)
+
+    sharded = jax.jit(shard_map(
+        per_device, mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis), P(), P()),
+        out_specs=(P(axis), P(axis), P(axis)), check_vma=False))
+    sharded_ldir = jax.jit(shard_map(
+        per_device_ldir, mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis), P(), P(), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis)), check_vma=False))
+
+    def eval_render(params, grid, rays_o, rays_d, aabb, annealing,
+                    rays_ldir=None):
+        annealing = jnp.asarray(annealing, jnp.float32)
+        if rays_ldir is None:
+            return sharded(params, grid, rays_o, rays_d, aabb, annealing)
+        return sharded_ldir(params, grid, rays_o, rays_d, aabb, annealing,
+                            rays_ldir)
+
+    return eval_render

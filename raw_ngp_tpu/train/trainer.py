@@ -167,25 +167,18 @@ def render_any(params, spec, state, rays_o, rays_d, aabb, *, key,
         training=training, update_proposal=update_proposal)
 
 
-def make_loss_fn(cfg: Config, spec: FieldSpec, num_rays: int):
-    """The full differentiable step objective: batch sampling + rendering +
-    loss assembly (exposed separately for tests and NaN debugging)."""
+def make_batch_loss_fn(cfg: Config, spec: FieldSpec):
+    """Render + loss assembly over an explicit ray batch (the sampling-free
+    half of the step objective; used directly by the gradient-parity tests
+    so sharded and single-device steps can see the identical rays)."""
 
-    def loss_fn(params, pose_params, state: TrainState, scene, aabb,
-                k_batch, key, annealing, update_proposal):
-        # ray generation lives INSIDE the differentiated function so pose
-        # gradients flow from the loss through get_rays into the se(3)
-        # refinements (the reference routes this through
-        # rays_o/d.requires_grad_, colmap_provider.py:644-645)
-        batch = sample_ray_batch(
-            k_batch, scene["images"], scene["poses"], scene["intrinsics"],
-            num_rays, random_image_batch=cfg.train.random_image_batch,
-            se3_refine=pose_params, pose_noise=state.pose_noise,
-            exposures=scene.get("exposures"), ldirs=scene.get("ldirs"),
-            cam_near_far=scene.get("cam_near_far"),
-            mosaiced=cfg.data.mosaiced)
+    def batch_loss_fn(params, state: TrainState, batch, aabb, key,
+                      annealing, update_proposal):
         rays_o, rays_d = batch["rays_o"], batch["rays_d"]
-        k_bg, k_render = jax.random.split(key)
+        if key is None:       # deterministic mode (gradient-parity tests)
+            k_bg = k_render = None
+        else:
+            k_bg, k_render = jax.random.split(key)
         bg = _bg_color(cfg, k_bg, rays_o.shape[0])
         gt_rgb = blend_gt_background(batch["images"], bg)
 
@@ -222,6 +215,30 @@ def make_loss_fn(cfg: Config, spec: FieldSpec, num_rays: int):
         aux = {"num_points": out.get("num_points", 0),
                "weights_sum": out["weights_sum"].mean()}
         return loss, aux
+
+    return batch_loss_fn
+
+
+def make_loss_fn(cfg: Config, spec: FieldSpec, num_rays: int):
+    """The full differentiable step objective: batch sampling + rendering +
+    loss assembly (exposed separately for tests and NaN debugging)."""
+    batch_loss_fn = make_batch_loss_fn(cfg, spec)
+
+    def loss_fn(params, pose_params, state: TrainState, scene, aabb,
+                k_batch, key, annealing, update_proposal):
+        # ray generation lives INSIDE the differentiated function so pose
+        # gradients flow from the loss through get_rays into the se(3)
+        # refinements (the reference routes this through
+        # rays_o/d.requires_grad_, colmap_provider.py:644-645)
+        batch = sample_ray_batch(
+            k_batch, scene["images"], scene["poses"], scene["intrinsics"],
+            num_rays, random_image_batch=cfg.train.random_image_batch,
+            se3_refine=pose_params, pose_noise=state.pose_noise,
+            exposures=scene.get("exposures"), ldirs=scene.get("ldirs"),
+            cam_near_far=scene.get("cam_near_far"),
+            mosaiced=cfg.data.mosaiced)
+        return batch_loss_fn(params, state, batch, aabb, key, annealing,
+                             update_proposal)
 
     return loss_fn
 
@@ -370,11 +387,46 @@ class Trainer:
         init_fn = jax.jit(init_train_state, static_argnums=(1, 2, 3))
         self.state = init_fn(key, cfg, self.spec, train_scene.n_images)
         self.num_rays = cfg.train.num_rays
-        self._train_step = make_train_step(cfg, self.spec, self.net_tx,
-                                           self.pose_tx, self.num_rays)
+
+        # first-class data parallelism (the DDP scaffolding the reference
+        # never activates, train_utils.py:384-386): num_devices=0 auto-uses
+        # every chip on an accelerator backend; explicit >1 forces a mesh
+        # (e.g. the 8-device virtual CPU mesh in tests); 1 = single device
+        n_req = cfg.parallel.num_devices
+        n_avail = len(jax.devices())
+        if n_req == 0:
+            self.n_devices = n_avail if jax.default_backend() != "cpu" else 1
+        else:
+            self.n_devices = min(n_req, n_avail)
+        self.mesh = None
         self._eval_chunk = cfg.render.max_ray_batch
-        self._eval_render = make_eval_render(cfg, self.spec,
-                                             self._eval_chunk)
+        if self.n_devices > 1:
+            from raw_ngp_tpu.parallel import (
+                make_mesh,
+                make_parallel_eval_render,
+                make_parallel_train_step,
+                replicate_to_mesh,
+            )
+            assert self.num_rays % self.n_devices == 0, \
+                "num_rays must divide the device mesh"
+            self.mesh = make_mesh(self.n_devices, cfg.parallel.mesh_axis)
+            self._train_step = make_parallel_train_step(
+                cfg, self.spec, self.net_tx, self.pose_tx, self.num_rays,
+                self.mesh, cfg.parallel.mesh_axis)
+            self._eval_chunk = (self._eval_chunk // self.n_devices
+                                * self.n_devices) or self.n_devices
+            self._eval_render = make_parallel_eval_render(
+                cfg, self.spec, self.mesh, self._eval_chunk,
+                cfg.parallel.mesh_axis)
+            # state is placed by _place_state() at the end of __init__
+            self.scene_arrays = replicate_to_mesh(self.scene_arrays,
+                                                  self.mesh)
+            self.aabb = replicate_to_mesh(self.aabb, self.mesh)
+        else:
+            self._train_step = make_train_step(cfg, self.spec, self.net_tx,
+                                               self.pose_tx, self.num_rays)
+            self._eval_render = make_eval_render(cfg, self.spec,
+                                                 self._eval_chunk)
         if cfg.render.occupancy:
             from raw_ngp_tpu.ops.grid import make_grid_update
             self._grid_update = make_grid_update(cfg, self.spec)
@@ -396,6 +448,14 @@ class Trainer:
         # checkpoint auto-resume policy (train_utils.py:444-463)
         if cfg.ckpt != "scratch":
             self.load_checkpoint()
+        self._place_state()
+
+    def _place_state(self):
+        """(Re)place the train state on the mesh — replicated across the dp
+        axis — after init, mark_untrained or checkpoint load."""
+        if self.mesh is not None:
+            from raw_ngp_tpu.parallel import replicate_to_mesh
+            self.state = replicate_to_mesh(self.state, self.mesh)
 
     def _scene_to_device(self, scene: SceneData) -> Dict[str, jnp.ndarray]:
         arrays = {
@@ -569,6 +629,7 @@ class Trainer:
         if path is None:
             return False
         self.state, meta = load_checkpoint(self.state, path)
+        self._place_state()
         self.host_step = int(meta.get("step", int(self.state.step)))
         interval = self.cfg.render.update_extra_interval
         self.host_grid_updates = self.host_step // max(interval, 1)

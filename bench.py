@@ -41,8 +41,11 @@ def main():
         n_train=36, n_val=2, H=128, W=128)
     tr = Trainer(cfg, train_scene, val_scene, workspace="/tmp/bench_ws")
 
-    # warmup: compile + first grid refreshes
-    tr.train(iters=32, log_every=1000)
+    # warmup: compile + the 16 FULL density-grid sweeps (renderer.py:824
+    # cadence: refreshes 0-15 sweep every cell; steady state uses the much
+    # cheaper partial refresh, so measure past refresh 16 like a real run)
+    warmup = 16 * cfg.render.update_extra_interval + 16
+    tr.train(iters=warmup, log_every=1000)
 
     # steady-state measurement
     iters = 200

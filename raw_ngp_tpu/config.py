@@ -33,6 +33,9 @@ class ModelConfig:
     log2_hashmap_size: int = 19
     hashgrid_resolution: int = 2048   # desired_resolution = this * bound
     gridtype: str = "hash"            # "hash" | "tiled"
+    # "xor" = reference hash; "additive" = TPU pair-aligned hash making
+    # every level 2-row-window gatherable (ops/hashgrid.HashGridSpec)
+    hash_variant: str = "xor"
     interpolation: str = "linear"     # "linear" | "smoothstep"
     align_corners: bool = False
 
@@ -282,10 +285,14 @@ class Config:
         the reference's 16 x 2 (same parameter count, same 32-wide MLP
         input). XLA:TPU gather cost is per-SLICE and flat in slice width up
         to 8 floats, so halving the level count halves the dominant
-        encode/gradient cost. Quality measured at or above the 16x2 layout
-        on the synthetic benchmark scene (see tests/bench history)."""
+        encode/gradient cost. The additive hash variant makes every level
+        2-row-window gatherable (kernels/hash_fused.py), halving gather and
+        sort volume again on the hashed levels. Quality measured at or
+        above the 16x2/xor layout on the synthetic benchmark scene (see
+        tests/bench history)."""
         return replace(
-            self, model=replace(self.model, num_levels=8, level_dim=4))
+            self, model=replace(self.model, num_levels=8, level_dim=4,
+                                hash_variant="additive"))
 
     def with_pose_opt(self, mode: str, num_cameras: int) -> "Config":
         """Pose refinement rewires batching (reference main.py:160-172)."""

@@ -1,36 +1,42 @@
-"""Fused hash-grid encode: pair-slice gathers + a sort-based backward.
+"""Fused hash-grid encode: 2-row-window gathers + a sort-based backward.
 
 Replaces jax.grad's default gather-transpose (an XLA scatter-add) for the
 hash table, and halves the gather/sort volume with an exact-semantics
-observation about the reference hash (gridencoder.cu:46-58):
+observation about the table index (gridencoder.cu:46-79):
 
-  The per-dim hash primes are {1, 2654435761, 805459861} — dim 0's prime
-  is **1**. For any cell, the two x-corners (x0, y, z) and (x0+1, y, z)
-  therefore produce table indices {u, u XOR 1} in the hashed case (one of
-  x0/x0+1 is even, and even^1 == even+1), i.e. the row pair {2m, 2m+1};
-  in the dense (non-overflow) case they are {u, u+1}. Either way the two
-  corners live in a 2-row window, so ONE gather slice of shape [2, C]
-  (= 8 floats at C=4, still a single-slice cost on XLA:TPU) fetches BOTH.
-  Per (point, level) that is 4 slices instead of 8 gathers, and the
-  backward sorts 4 pair-records instead of 8 corner-records.
+  * dense (non-overflow) levels use pure stride arithmetic with dim-0
+    stride 1, so the two x-corners (x0, y, z) and (x0+1, y, z) are ALWAYS
+    at adjacent rows {u, u+1};
+  * hashed levels with the "additive" TPU hash variant
+    (ops/hashgrid.HashGridSpec.hash_variant) index as
+    ``row = x + (mix(y,z) % (hmap - res))`` — adjacent by construction;
+  * hashed levels with the reference "xor" hash only pair for even x0
+    (prime_0 == 1 so even^1 == even+1), so they fall back to one window
+    PER CORNER with the second row's weight pinned to zero — a [2, C]
+    slice of <= 8 floats costs the same single-slice gather as [1, C] on
+    XLA:TPU, so the unified window path loses nothing.
+
+Either way ONE gather slice of shape [2, C] fetches both rows, so a level
+costs 2^(D-1) slices when pairable and 2^D otherwise, and the backward
+sorts one record per window instead of one per corner.
 
 Backward (replacing CUDA atomicAdd, gridencoder.cu:334-347):
 
-  1. pair gradient values v0 = w0 * dL/dfeat, v1 = w1 * dL/dfeat   (VPU)
-  2. sort (pair base b, packed fp16 v0/v1 channels)                (lax.sort)
+  1. window gradient values v0 = w0 * dL/dfeat, v1 = w1 * dL/dfeat   (VPU)
+  2. sort (window base b, packed fp16 v0/v1 channels)                (lax.sort)
   3. per-channel inclusive cumsum of sorted values
   4. segment totals at segment ends -> strided monotone scatter-SET
      (the only scatter form XLA:TPU executes fast)
   5. rows gradient = G0 + shift(G1): base b accumulates v0 into row b and
      v1 into row b+1, so the two segment-sum buffers combine with a one-row
-     shift — no conflicting scatter windows even where dense-level pairs
-     overlap between neighboring cells.
+     shift — no conflicting scatter windows even where windows overlap
+     between neighboring cells.
 
 fp16 pre-accumulation matches the reference exactly (its backward scatters
 half-precision atomics via half2 atomicAdd); accumulation stays fp32.
 
 Gradients wrt inputs (pose refinement path, gridencoder.cu:205-248 dy_dx)
-are requested with ``need_input_grads=True``; they recompute the pair
+are requested with ``need_input_grads=True``; they recompute the window
 gather in the backward pass instead of saving the corner-value residual.
 """
 
@@ -46,18 +52,38 @@ import numpy as np
 from raw_ngp_tpu.ops.hashgrid import HashGridSpec, _level_indices, _smoothstep
 
 
-def _level_is_dense(spec: HashGridSpec, lv: int) -> bool:
-    """Dense (non-overflow) level: the flat index is pure stride
-    arithmetic, so the two x-corners are ALWAYS at rows {i, i+1} — the
-    2-row pair window is exact for every cell. Hashed levels only pair for
-    even x0 (odd^1 != odd+1), so they keep per-corner records."""
+def _level_pairable(spec: HashGridSpec, lv: int) -> bool:
+    """Whether the two x-corners of any cell at this level are guaranteed
+    adjacent table rows (see module docstring)."""
     res = spec.resolutions[lv]
     hmap = spec.offsets[lv + 1] - spec.offsets[lv]
-    return res ** spec.input_dim <= hmap
+    if res ** spec.input_dim <= hmap:
+        return True                       # dense stride arithmetic
+    return (spec.gridtype == "hash" and spec.hash_variant == "additive"
+            and hmap > res)
 
 
-def _pair_scheme_ok(spec: HashGridSpec) -> bool:
-    return all(_level_is_dense(spec, lv) for lv in range(spec.num_levels))
+def _windows_per_level(spec: HashGridSpec) -> Tuple[int, ...]:
+    D = spec.input_dim
+    return tuple((1 << (D - 1)) if _level_pairable(spec, lv) else (1 << D)
+                 for lv in range(spec.num_levels))
+
+
+def _pairable_split(spec: HashGridSpec) -> int:
+    """Number of leading pairable levels. Pairability is monotone in the
+    level index (resolutions only grow), so levels split into a pairable
+    PREFIX and a non-pairable SUFFIX — each group has a uniform window
+    count, letting the forward reduce with ONE reshape-sum per group.
+    XLA then fuses gather -> weight -> reduce without materializing the
+    [B, P, 2, C] window tensor, whose tiny minor dims tile-pad 32x on TPU
+    (materializing it OOMs HBM at production sizes)."""
+    k = 0
+    while k < spec.num_levels and _level_pairable(spec, k):
+        k += 1
+    assert not any(_level_pairable(spec, lv)
+                   for lv in range(k, spec.num_levels)), \
+        "pairable levels must form a prefix"
+    return k
 
 
 def _frac_grid(x01, spec: HashGridSpec, lv: int):
@@ -74,49 +100,16 @@ def _frac_grid(x01, spec: HashGridSpec, lv: int):
     return frac, grid.astype(jnp.int32), res
 
 
-def _corner_indices_weights(x01, spec: HashGridSpec):
-    """Per-corner index/weight computation (oracle layout, used by the
-    input-gradient recompute and the tiled-overflow fallback).
-
-    Returns idx [B, L*2^D] int32 and w [B, L*2^D] float32 with OOB rows'
-    weights zeroed.
-    """
-    B, D = x01.shape
-    L = spec.num_levels
-    n_corners = 1 << D
-    x01 = x01.astype(jnp.float32)
-
-    inb = jnp.all((x01 >= 0.0) & (x01 <= 1.0), axis=-1, keepdims=True)
-    x01 = jnp.where(inb, x01, 0.5)
-
-    bits = np.array([[(c >> d) & 1 for d in range(D)]
-                     for c in range(n_corners)], dtype=np.float32)
-    bits_j = jnp.asarray(bits)
-
-    all_idx, all_w = [], []
-    for lv in range(L):
-        frac, grid, res = _frac_grid(x01, spec, lv)
-        corner = jnp.minimum(grid[:, None, :] + bits_j.astype(jnp.int32),
-                             res - 1)
-        idx = _level_indices(spec, lv, corner).astype(jnp.int32)
-        w = jnp.prod(bits_j * frac[:, None, :]
-                     + (1.0 - bits_j) * (1.0 - frac[:, None, :]), axis=-1)
-        all_idx.append(idx)
-        all_w.append(w)
-    idx = jnp.concatenate(all_idx, axis=1)
-    w = jnp.concatenate(all_w, axis=1) * inb.astype(jnp.float32)
-    return idx, w
-
-
-def _pair_indices_weights(x01, spec: HashGridSpec):
-    """Pair-slice index/weight computation.
+def _window_indices_weights(x01, spec: HashGridSpec):
+    """Window index/weight computation for every level.
 
     Returns:
-      base [B, L*2^(D-1)] int32 — start row of each 2-row gather window,
-        clamped to n_params-2 so every [2, C] slice is in-bounds;
-      w0, w1 [B, L*2^(D-1)] float32 — interpolation weight routed to row
-        ``base`` / ``base+1`` (clamped corners can land both weights on
-        one row; the routing indicators absorb every case).
+      base [B, P] int32 — start row of each 2-row gather window, clamped to
+        n_params-2 so every [2, C] slice is in-bounds;
+      w0, w1 [B, P] float32 — interpolation weight routed to row ``base`` /
+        ``base+1`` (clamped corners can land both weights on one row; the
+        routing indicators absorb every case, including the degenerate
+        single-corner windows of non-pairable levels where one weight is 0).
     """
     B, D = x01.shape
     L = spec.num_levels
@@ -150,13 +143,23 @@ def _pair_indices_weights(x01, spec: HashGridSpec):
         w_u = (1.0 - frac[:, None, 0]) * w_rest
         w_v = frac[:, None, 0] * w_rest
 
-        b = jnp.minimum(jnp.minimum(u, v), top)
-        # route each corner weight to its slice position (0 or 1)
-        w0 = w_u * (u == b) + w_v * (v == b)
-        w1 = w_u * (u == b + 1) + w_v * (v == b + 1)
-        bases.append(b)
-        w0s.append(w0)
-        w1s.append(w1)
+        if _level_pairable(spec, lv):
+            b = jnp.minimum(jnp.minimum(u, v), top)
+            # route each corner weight to its slice position (0 or 1)
+            w0 = w_u * (u == b) + w_v * (v == b)
+            w1 = w_u * (u == b + 1) + w_v * (v == b + 1)
+            bases.append(b)
+            w0s.append(w0)
+            w1s.append(w1)
+        else:
+            # one degenerate window per corner: [2, C] slice at the corner's
+            # row with the second row's weight 0 (same gather cost; the
+            # routing below also absorbs the top clamp)
+            for idx, w in ((u, w_u), (v, w_v)):
+                b = jnp.minimum(idx, top)
+                bases.append(b)
+                w0s.append(w * (idx == b))
+                w1s.append(w * (idx == b + 1))
 
     base = jnp.concatenate(bases, axis=1)
     w0 = jnp.concatenate(w0s, axis=1) * inb_f
@@ -164,8 +167,8 @@ def _pair_indices_weights(x01, spec: HashGridSpec):
     return base, w0, w1
 
 
-def _pair_gather(params, base):
-    """[B, P] bases -> [B, P, 2, C] table slices (one slice per pair)."""
+def _window_gather(params, base):
+    """[B, P] bases -> [B, P, 2, C] table slices (one slice per window)."""
     B, P = base.shape
     dn = jax.lax.GatherDimensionNumbers(
         offset_dims=(1, 2), collapsed_slice_dims=(), start_index_map=(0,))
@@ -175,24 +178,40 @@ def _pair_gather(params, base):
     return flat.reshape(B, P, 2, params.shape[1])
 
 
-def _pair_forward(params, base, w0, w1, spec: HashGridSpec):
+def _group_extents(spec: HashGridSpec):
+    """((n_levels, n_windows_per_level, window_col_offset), ...) for the
+    pairable prefix and non-pairable suffix groups (empty groups omitted)."""
+    D = spec.input_dim
+    k = _pairable_split(spec)
+    L = spec.num_levels
+    groups = []
+    if k > 0:
+        groups.append((k, 1 << (D - 1), 0))
+    if k < L:
+        groups.append((L - k, 1 << D, k * (1 << (D - 1))))
+    return tuple(groups)
+
+
+def _window_forward(params, base, w0, w1, spec: HashGridSpec):
     B = base.shape[0]
-    L, C = spec.num_levels, spec.level_dim
-    n_half = base.shape[1] // L
-    vals = _pair_gather(params, base)                       # [B, P, 2, C]
+    C = spec.level_dim
     dt = params.dtype
-    feats = (vals[:, :, 0, :] * w0[..., None].astype(dt)
-             + vals[:, :, 1, :] * w1[..., None].astype(dt))
-    return feats.reshape(B, L, n_half, C).sum(axis=2).reshape(B, L * C)
-
-
-def _corner_forward(params, idx, w, spec: HashGridSpec):
-    B = idx.shape[0]
-    L, C = spec.num_levels, spec.level_dim
-    n_corners = idx.shape[1] // L
-    vals = params[idx]                                      # [B, L*2^D, C]
-    feats = (vals * w[..., None].astype(params.dtype))
-    return feats.reshape(B, L, n_corners, C).sum(axis=2).reshape(B, L * C)
+    parts = []
+    for nl, nw, ofs in _group_extents(spec):
+        p = nl * nw
+        # one flat gather -> mul -> reduce chain per group. Do NOT slice
+        # the gather result along the window-row dim: XLA materializes the
+        # sliced [B, p, 1, C] with (1, 128) tiling — a 32x padding blowup
+        # that OOMs HBM at production sizes. Interleaving the two row
+        # weights instead keeps the whole chain a fusable elementwise+reduce
+        # over the gather output (bitcast-reshaped, never copied).
+        vals = _window_gather(params, base[:, ofs:ofs + p])  # [B, p, 2, C]
+        w01 = jnp.stack([w0[:, ofs:ofs + p], w1[:, ofs:ofs + p]],
+                        axis=2).astype(dt)                   # [B, p, 2]
+        f = vals.reshape(B, 2 * p, C) * w01.reshape(B, 2 * p)[..., None]
+        parts.append(
+            f.reshape(B, nl, 2 * nw, C).sum(axis=2).reshape(B, nl * C))
+    return jnp.concatenate(parts, axis=1)                   # [B, L*C]
 
 
 def _pack_f16_pairs(chans):
@@ -271,41 +290,51 @@ def _segment_sum_sorted_scatter(keys_sorted, val_channels, n_rows: int):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def hash_encode_fused(params, x01, spec: HashGridSpec,
                       need_input_grads: bool = False):
-    """Drop-in replacement for ops.hashgrid.hash_encode_01 with pair-slice
+    """Drop-in replacement for ops.hashgrid.hash_encode_01 with 2-row-window
     gathers and the sort-based table gradient. x01 in [0, 1]^D."""
-    if _pair_scheme_ok(spec):
-        base, w0, w1 = _pair_indices_weights(x01, spec)
-        return _pair_forward(params, base, w0, w1, spec)
-    idx, w = _corner_indices_weights(x01, spec)
-    return _corner_forward(params, idx, w, spec)
+    base, w0, w1 = _window_indices_weights(x01, spec)
+    return _window_forward(params, base, w0, w1, spec)
 
 
 def _fused_fwd(params, x01, spec, need_input_grads):
-    if _pair_scheme_ok(spec):
-        base, w0, w1 = _pair_indices_weights(x01, spec)
-        out = _pair_forward(params, base, w0, w1, spec)
-        return out, (params, x01, base, w0, w1)
-    idx, w = _corner_indices_weights(x01, spec)
-    out = _corner_forward(params, idx, w, spec)
-    return out, (params, x01, idx, w)
+    base, w0, w1 = _window_indices_weights(x01, spec)
+    out = _window_forward(params, base, w0, w1, spec)
+    return out, (params, x01, base, w0, w1)
 
 
-def _pair_bwd_table(spec, res, g):
-    """Table gradient through the pair scheme: sort pair records, segment-
-    sum 2C channels, combine G0 + shift(G1)."""
+def _window_bwd_table(spec, res, g):
+    """Table gradient through the window scheme: sort window records,
+    segment-sum 2C channels, combine G0 + shift(G1)."""
     params, x01, base, w0, w1 = res
-    B = base.shape[0]
-    L, C = spec.num_levels, spec.level_dim
-    n_half = base.shape[1] // L
-    M = B * L * n_half
+    B, P = base.shape
+    C = spec.level_dim
+    M = B * P
 
-    g_lc = g.reshape(B, L, 1, C).astype(jnp.float32)        # [B, L, 1, C]
-    w0r = w0.reshape(B, L, n_half)
-    w1r = w1.reshape(B, L, n_half)
+    g_lc = g.reshape(B, spec.num_levels, C).astype(jnp.float32)
+    # per-group uniform [B, nl, nw] weight blocks (fusion-friendly; see
+    # _pairable_split) -> per-channel flat [M] record values
+    chans0, chans1 = [[] for _ in range(C)], [[] for _ in range(C)]
+    lv0 = 0
+    for nl, nw, ofs in _group_extents(spec):
+        p = nl * nw
+        w0r = w0[:, ofs:ofs + p].reshape(B, nl, nw)
+        w1r = w1[:, ofs:ofs + p].reshape(B, nl, nw)
+        g_grp = g_lc[:, lv0:lv0 + nl, None, :]              # [B, nl, 1, C]
+        for c in range(C):
+            chans0[c].append((w0r * g_grp[..., c]).reshape(B * p))
+            chans1[c].append((w1r * g_grp[..., c]).reshape(B * p))
+        lv0 += nl
+
+    def cat(parts_by_b):
+        # records flat in [B-major, window] order must match keys below:
+        # keys = base.reshape(M) is [B, P] flattened B-major, while group
+        # parts are [B, p] — interleave per B via stacking along axis 1
+        return jnp.concatenate(
+            [p.reshape(B, -1) for p in parts_by_b], axis=1).reshape(M)
 
     keys = base.reshape(M)
-    chans = ([(w0r * g_lc[..., c]).reshape(M) for c in range(C)]
-             + [(w1r * g_lc[..., c]).reshape(M) for c in range(C)])
+    chans = ([cat(chans0[c]) for c in range(C)]
+             + [cat(chans1[c]) for c in range(C)])
     packed = _pack_f16_pairs(chans)
     sorted_ops = jax.lax.sort([keys] + packed, num_keys=1)
     keys_s = sorted_ops[0]
@@ -318,33 +347,9 @@ def _pair_bwd_table(spec, res, g):
     return grad.astype(params.dtype)
 
 
-def _corner_bwd_table(spec, res, g):
-    params, x01, idx, w = res
-    B = idx.shape[0]
-    L, C = spec.num_levels, spec.level_dim
-    n_corners = idx.shape[1] // L
-    M = B * L * n_corners
-
-    g_lc = g.reshape(B, L, 1, C).astype(jnp.float32)
-    w_r = w.reshape(B, L, n_corners)
-    keys = idx.reshape(M)
-    chans = [(w_r * g_lc[..., c]).reshape(M) for c in range(C)]
-    packed = _pack_f16_pairs(chans)
-    sorted_ops = jax.lax.sort([keys] + packed, num_keys=1)
-    val_channels = _unpack_f16_pairs(sorted_ops[1:], C)
-    grad = _segment_sum_sorted_scatter(sorted_ops[0], val_channels,
-                                       spec.n_params)
-    return grad.astype(params.dtype)
-
-
 def _fused_bwd(spec, need_input_grads, res, g):
-    pair = _pair_scheme_ok(spec)
-    if pair:
-        params, x01, base, w0, w1 = res
-        grad_table = _pair_bwd_table(spec, res, g)
-    else:
-        params, x01, idx, w = res
-        grad_table = _corner_bwd_table(spec, res, g)
+    params, x01, base, w0, w1 = res
+    grad_table = _window_bwd_table(spec, res, g)
 
     if not need_input_grads:
         return grad_table, jnp.zeros_like(x01)
@@ -352,30 +357,12 @@ def _fused_bwd(spec, need_input_grads, res, g):
     # input grads (pose path): differentiate through the weights with the
     # gathered values treated as constants (exactly the reference's dy_dx
     # contraction, gridencoder.cu:352-378). Recompute the gather here
-    # rather than saving the corner-value residual.
-    B = x01.shape[0]
-    L, C = spec.num_levels, spec.level_dim
+    # rather than saving the window-value residual.
     frozen = jax.lax.stop_gradient(params)
-    if pair:
-        vals = _pair_gather(frozen, base)                    # [B, P, 2, C]
-        n_half = base.shape[1] // L
 
-        def weights_path(x):
-            _, w0x, w1x = _pair_indices_weights(x, spec)
-            dt = vals.dtype
-            feats = (vals[:, :, 0, :] * w0x[..., None].astype(dt)
-                     + vals[:, :, 1, :] * w1x[..., None].astype(dt))
-            return feats.reshape(B, L, n_half, C).sum(axis=2).reshape(
-                B, L * C)
-    else:
-        vals = frozen[idx]
-        n_corners = idx.shape[1] // L
-
-        def weights_path(x):
-            _, w2 = _corner_indices_weights(x, spec)
-            feats = (vals * w2[..., None].astype(vals.dtype))
-            return feats.reshape(B, L, n_corners, C).sum(axis=2).reshape(
-                B, L * C)
+    def weights_path(x):
+        _, w0x, w1x = _window_indices_weights(x, spec)
+        return _window_forward(frozen, base, w0x, w1x, spec)
 
     _, vjp = jax.vjp(weights_path, x01)
     (grad_x,) = vjp(g)

@@ -66,7 +66,7 @@ def make_field_spec(cfg: Config) -> FieldSpec:
         log2_hashmap_size=m.log2_hashmap_size,
         desired_resolution=cfg.desired_resolution,
         gridtype=m.gridtype, interpolation=m.interpolation,
-        align_corners=m.align_corners)
+        align_corners=m.align_corners, hash_variant=m.hash_variant)
     prop_specs = tuple(
         HashGridSpec.create(
             input_dim=3, num_levels=m.prop_num_levels,

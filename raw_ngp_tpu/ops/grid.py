@@ -23,6 +23,7 @@ Redesigns for TPU:
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Dict
 
@@ -101,37 +102,45 @@ def make_grid_update(cfg: Config, spec, decay: float = 0.95):
             tmp.append(sig.reshape(-1))
         return jnp.stack(tmp)                           # [CAS, H^3]
 
-    def partial_sweep(params, density_grid, key):
-        """-1 everywhere except refreshed cells (renderer.py:853-880)."""
+    def partial_sweep(params, density_grid, key, cas: int):
+        """-1 everywhere except refreshed cells of ONE cascade
+        (renderer.py:853-880 resampling; cascades refresh round-robin
+        across updates — the reference refreshes all each time, but one
+        density query here costs ~200 ns of table gathers so the sweep is
+        a first-order step cost on TPU and alternating halves it while
+        keeping the same per-cascade EMA cadence)."""
         tmp = jnp.full((cascades, h3), -1.0, jnp.float32)
-        keys = jax.random.split(key, cascades * 3).reshape(cascades, 3, -1)
-        for cas in range(cascades):
-            k_rand, k_occ, k_noise = keys[cas]
-            cas_bound = min(2 ** cas, bound)
-            half = cas_bound / grid_size
-            # random half
-            rand_idx = jax.random.randint(
-                k_rand, (n_partial,), 0, h3).astype(jnp.uint32)
-            # occupancy-biased half: inverse-CDF over the occupied mask
-            occ_mask = (density_grid[cas] > 0).astype(jnp.float32)
-            cdf = jnp.cumsum(occ_mask)
-            total = cdf[-1]
-            u = jax.random.uniform(k_occ, (n_partial,)) * jnp.maximum(total,
-                                                                      1.0)
-            occ_idx = jnp.clip(jnp.searchsorted(cdf, u, side="left"),
-                               0, h3 - 1).astype(jnp.uint32)
-            # when nothing is occupied yet fall back to random cells
-            occ_idx = jnp.where(total > 0, occ_idx, rand_idx)
-            idx = jnp.concatenate([rand_idx, occ_idx])
-            coords = morton3d_invert(idx)
-            xyz = _cascade_coords_to_world(coords, cas_bound, half,
-                                           grid_size, k_noise)
-            # chunked query (lax.map) — unchunked, the hash-encode
-            # intermediates for 2*n_partial points exceed HBM
-            S = min(2 ** 16, 2 * n_partial)
-            sig = jax.lax.map(lambda c: query_sigma(params, c),
-                              xyz.reshape(-1, S, 3)).reshape(-1)
-            tmp = tmp.at[cas, idx.astype(jnp.int32)].set(sig)
+        k_rand, k_occ, k_noise = jax.random.split(key, 3)
+        cas_bound = min(2 ** cas, bound)
+        half = cas_bound / grid_size
+        # random half
+        rand_idx = jax.random.randint(
+            k_rand, (n_partial,), 0, h3).astype(jnp.uint32)
+        # occupancy-biased half: inverse-CDF over the occupied mask
+        occ_mask = (density_grid[cas] > 0).astype(jnp.float32)
+        cdf = jnp.cumsum(occ_mask)
+        total = cdf[-1]
+        u = jax.random.uniform(k_occ, (n_partial,)) * jnp.maximum(total,
+                                                                  1.0)
+        occ_idx = jnp.clip(jnp.searchsorted(cdf, u, side="left"),
+                           0, h3 - 1).astype(jnp.uint32)
+        # when nothing is occupied yet fall back to random cells
+        occ_idx = jnp.where(total > 0, occ_idx, rand_idx)
+        idx = jnp.concatenate([rand_idx, occ_idx])
+        # sort cell ids so the result scatter-SET below runs on XLA:TPU's
+        # fast monotone path (~1 ns/slice) instead of the ~40 ns general
+        # scatter; duplicates are fine for SET (same cell, same refresh)
+        idx = jax.lax.sort(idx)
+        coords = morton3d_invert(idx)
+        xyz = _cascade_coords_to_world(coords, cas_bound, half,
+                                       grid_size, k_noise)
+        # chunked query (lax.map) — unchunked, the hash-encode
+        # intermediates for 2*n_partial points exceed HBM
+        S = min(2 ** 16, 2 * n_partial)
+        sig = jax.lax.map(lambda c: query_sigma(params, c),
+                          xyz.reshape(-1, S, 3)).reshape(-1)
+        tmp = tmp.at[cas, idx.astype(jnp.int32)].set(
+            sig, indices_are_sorted=True)
         return tmp
 
     density_thresh = cfg.render.density_thresh
@@ -156,10 +165,10 @@ def make_grid_update(cfg: Config, spec, decay: float = 0.95):
                              mean_density=mean,
                              iter_density=state.iter_density + 1, key=key)
 
-    @jax.jit
-    def update_partial(state):
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def update_partial(state, cas: int):
         key, k = jax.random.split(state.key)
-        tmp = partial_sweep(state.params, state.density_grid, k)
+        tmp = partial_sweep(state.params, state.density_grid, k, cas)
         grid, bits, mean = finish(state.density_grid, tmp)
         return state.replace(density_grid=grid, density_bitfield=bits,
                              mean_density=mean,
@@ -172,7 +181,7 @@ def make_grid_update(cfg: Config, spec, decay: float = 0.95):
         it = host_iter if host_iter is not None else int(state.iter_density)
         if it < 16:
             return update_full(state)
-        return update_partial(state)
+        return update_partial(state, (it - 16) % cascades)
 
     return update
 

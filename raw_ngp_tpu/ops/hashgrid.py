@@ -54,13 +54,21 @@ class HashGridSpec:
     gridtype: str = "hash"            # "hash" | "tiled"
     align_corners: bool = False
     interpolation: str = "linear"     # "linear" | "smoothstep"
+    # "xor": reference hash (prime-XOR, gridencoder.cu:46-58).
+    # "additive": TPU pair-aligned variant — dim 0 attaches ADDITIVELY to a
+    # prime-XOR hash of the remaining dims, row = x + mix(y,z), so the two
+    # x-corners of ANY cell occupy adjacent table rows and every level (not
+    # just dense ones) is served by 2-row-window gathers and pair-record
+    # gradients (see kernels/hash_fused.py). Same collision load factor;
+    # quality validated against the xor hash in tests/test_hash_variant.py.
+    hash_variant: str = "xor"
 
     @staticmethod
     def create(input_dim=3, num_levels=16, level_dim=2,
                base_resolution=16, log2_hashmap_size=19,
                desired_resolution=None, per_level_scale=2.0,
                gridtype="hash", align_corners=False,
-               interpolation="linear") -> "HashGridSpec":
+               interpolation="linear", hash_variant="xor") -> "HashGridSpec":
         """Mirror of GridEncoder.__init__ (grid.py:103-108): a desired finest
         resolution overrides per_level_scale."""
         if desired_resolution is not None:
@@ -71,7 +79,8 @@ class HashGridSpec:
             input_dim=input_dim, num_levels=num_levels, level_dim=level_dim,
             per_level_scale=per_level_scale, base_resolution=base_resolution,
             log2_hashmap_size=log2_hashmap_size, gridtype=gridtype,
-            align_corners=align_corners, interpolation=interpolation)
+            align_corners=align_corners, interpolation=interpolation,
+            hash_variant=hash_variant)
 
     @property
     def resolutions(self) -> Tuple[int, ...]:
@@ -131,10 +140,20 @@ def _level_indices(spec: HashGridSpec, level: int, corner_coords):
     overflow = stride > hmap
 
     if spec.gridtype == "hash" and overflow:
-        h = jnp.zeros(coords.shape[:-1], dtype=jnp.uint32)
-        for d in range(D):
-            h = h ^ (coords[..., d] * jnp.uint32(_PRIMES[d]))
-        index = h
+        if spec.hash_variant == "additive" and hmap > res:
+            # TPU pair-aligned hash: row = x + (mix(y..) % (hmap - res)).
+            # x <= res-1 and mix < hmap - res, so row <= hmap - 2 with NO
+            # wraparound — the rows of x and x+1 are always adjacent and
+            # both stay inside this level's table.
+            g = jnp.zeros(coords.shape[:-1], dtype=jnp.uint32)
+            for d in range(1, D):
+                g = g ^ (coords[..., d] * jnp.uint32(_PRIMES[d]))
+            index = coords[..., 0] + g % jnp.uint32(hmap - res)
+        else:
+            h = jnp.zeros(coords.shape[:-1], dtype=jnp.uint32)
+            for d in range(D):
+                h = h ^ (coords[..., d] * jnp.uint32(_PRIMES[d]))
+            index = h
 
     return (index % jnp.uint32(hmap)) + jnp.uint32(spec.offsets[level])
 

@@ -14,11 +14,15 @@ from raw_ngp_tpu.ops.hashgrid import (
 )
 
 
-@pytest.fixture(scope="module")
-def spec():
+@pytest.fixture(scope="module", params=["xor", "additive"])
+def spec(request):
+    # levels 0-1 are dense, 2-5 hashed: under "xor" the hashed levels take
+    # the degenerate one-corner-window path, under "additive" every level
+    # is pair-windowed — both fused paths are exercised against the oracle
     return HashGridSpec.create(input_dim=3, num_levels=6, level_dim=2,
                                base_resolution=4, log2_hashmap_size=9,
-                               desired_resolution=64)
+                               desired_resolution=64,
+                               hash_variant=request.param)
 
 
 def test_forward_matches_reference(spec):

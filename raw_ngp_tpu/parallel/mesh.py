@@ -141,14 +141,19 @@ def make_parallel_eval_render(cfg: Config, spec: FieldSpec, mesh: Mesh,
                         ldir):
         return render(params, grid, rays_o, rays_d, aabb, annealing, ldir)
 
+    # the per-chunk render emits (image, depth, weights_sum) plus a normal
+    # map when cfg.render.compute_normals — all ray-sharded
+    n_out = 4 if (cfg.render.compute_normals and cfg.render.occupancy) \
+        else 3
+    out_specs = tuple(P(axis) for _ in range(n_out))
     sharded = jax.jit(shard_map(
         per_device, mesh=mesh,
         in_specs=(P(), P(), P(axis), P(axis), P(), P()),
-        out_specs=(P(axis), P(axis), P(axis)), check_vma=False))
+        out_specs=out_specs, check_vma=False))
     sharded_ldir = jax.jit(shard_map(
         per_device_ldir, mesh=mesh,
         in_specs=(P(), P(), P(axis), P(axis), P(), P(), P(axis)),
-        out_specs=(P(axis), P(axis), P(axis)), check_vma=False))
+        out_specs=out_specs, check_vma=False))
 
     def eval_render(params, grid, rays_o, rays_d, aabb, annealing,
                     rays_ldir=None):

@@ -263,6 +263,7 @@ def render_occupancy(
     rays_ldir=None,
     annealing=1.0,
     training: bool = False,
+    compute_normals: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Full occupancy-path render (reference run_cuda,
     renderer.py:515-676), one static-shape program for train AND inference
@@ -373,6 +374,28 @@ def render_occupancy(
                        * -dirs_nk.reshape(-1, 3)).sum(-1).reshape(N, K)
             results["orientation_loss"] = jnp.mean(
                 (out["weights"] * jnp.minimum(0.0, n_dot_v) ** 2).sum(-1))
+
+    if compute_normals:
+        # inference normal-map pass (renderer.py:618-670): the reference
+        # re-marches the same rays and composites
+        # -normalize(grad sigma) with a second composite_rays; our march
+        # is deterministic so the weights of the SAME samples are reused
+        # (identical sigmas => identical composite weights)
+        from raw_ngp_tpu.models.ngp import field_normals
+        if ratio > 0:
+            n_c = field_normals(params, spec, xyz_c, annealing)
+            n_pad = jnp.concatenate(
+                [n_c, jnp.zeros((1, 3), n_c.dtype)], axis=0)
+            normals_nk = expand_from_slots(
+                n_pad, inv, dest, m_pad).reshape(N, K, 3)
+        else:
+            normals_nk = field_normals(
+                params, spec, xyzs.reshape(-1, 3), annealing
+            ).reshape(N, K, 3)
+        nm = (out["weights"][..., None]
+              * normals_nk.astype(jnp.float32)).sum(axis=1)
+        results["normals"] = composite_with_background(
+            nm, out["weights_sum"], bg_color)
 
     image = composite_with_background(out["image"], out["weights_sum"],
                                       bg_color)

@@ -59,15 +59,15 @@ def evaluate_camera_alignment(pred_poses: np.ndarray,
             "translation": float(trans.mean())}
 
 
-def analyze_pose_optimization(trainer) -> Dict[str, float]:
-    """Refined-vs-GT pose errors for a trainer with pose refinement
-    (camera_optimizers.py:55-86 without the hard-coded debug paths)."""
+def refined_poses(trainer) -> np.ndarray:
+    """Current optimized camera poses [n, 4, 4]: base poses composed with
+    the injected noise (self-test mode) and the learned se(3) refinements
+    — the live value of the reference's `poses + pose_offsets`
+    (camera_optimizers.py:55-70)."""
     import jax.numpy as jnp
 
     assert trainer.state.pose_params is not None, "pose_opt is off"
     scene = trainer.train_scene
-    gt = np.asarray(scene.poses_gt if scene.poses_gt is not None
-                    else scene.poses)
     base = jnp.asarray(scene.poses)[:, :3, :4]
     if trainer.state.pose_noise is not None:
         from raw_ngp_tpu.ops.lie import compose_pose
@@ -76,4 +76,13 @@ def analyze_pose_optimization(trainer) -> Dict[str, float]:
     refined4 = np.tile(np.eye(4, dtype=np.float32),
                        (len(refined), 1, 1))
     refined4[:, :3, :4] = refined
-    return evaluate_camera_alignment(refined4, gt)
+    return refined4
+
+
+def analyze_pose_optimization(trainer) -> Dict[str, float]:
+    """Refined-vs-GT pose errors for a trainer with pose refinement
+    (camera_optimizers.py:55-86 without the hard-coded debug paths)."""
+    scene = trainer.train_scene
+    gt = np.asarray(scene.poses_gt if scene.poses_gt is not None
+                    else scene.poses)
+    return evaluate_camera_alignment(refined_poses(trainer), gt)

@@ -316,6 +316,8 @@ def make_eval_render(cfg: Config, spec: FieldSpec, chunk: int):
     """Jitted chunk renderer for full-image eval (train_utils.py:592-607
     chunking; renderer.py:380-396 staged inference)."""
 
+    normals = cfg.render.compute_normals and cfg.render.occupancy
+
     def render_chunk(params, state_grid, rays_o, rays_d, aabb, annealing,
                      rays_ldir=None):
         # eval uses the CURRENT annealing state, like the reference's
@@ -326,13 +328,17 @@ def make_eval_render(cfg: Config, spec: FieldSpec, chunk: int):
                 params, spec, rays_o, rays_d, aabb, state_grid,
                 key=None, bg_color=1.0 if cfg.render.background != "black"
                 else 0.0, cam_near_far=None, rays_ldir=rays_ldir,
-                annealing=annealing, training=False)
+                annealing=annealing, training=False,
+                compute_normals=normals)
         else:
             out = render_proposal(
                 params, spec, rays_o, rays_d, aabb, key=None,
                 bg_color=1.0 if cfg.render.background != "black" else 0.0,
                 cam_near_far=None, rays_ldir=rays_ldir, annealing=annealing,
                 training=False)
+        if normals:
+            return (out["image"], out["depth"], out["weights_sum"],
+                    out["normals"])
         return out["image"], out["depth"], out["weights_sum"]
 
     return jax.jit(render_chunk)
@@ -440,6 +446,10 @@ class Trainer:
         self.stats: Dict[str, Any] = {"loss": [], "psnr": []}
         self.host_step = 0
         self.host_grid_updates = 0
+        # HDR eval/test exposure levels (metadict['exposure_levels'],
+        # train_utils.py:1008-1017), populated per eval by
+        # estimate_exposure_levels
+        self.exposure_levels: Dict[float, float] = {}
         # observability (train_utils.py:428-432 console+file, :919-937
         # tensorboard; rays/points counters per SURVEY §5.1)
         from raw_ngp_tpu.utils.logging import RunLogger, ThroughputMeter
@@ -512,8 +522,11 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def render_image(self, pose, intrinsics=None, H=None, W=None,
-                     use_ema: bool = False, ldir=None):
-        """Full-image chunked render -> (rgb [H, W, 3], depth [H, W])."""
+                     use_ema: bool = False, ldir=None,
+                     return_normals: bool = False):
+        """Full-image chunked render -> (rgb [H, W, 3], depth [H, W]);
+        with ``return_normals`` (requires cfg.render.compute_normals) a
+        third [H, W, 3] normal map is returned (renderer.py:618-670)."""
         scene = self.train_scene
         intrinsics = jnp.asarray(
             intrinsics if intrinsics is not None else scene.intrinsics)
@@ -525,7 +538,9 @@ class Trainer:
         chunk = min(self._eval_chunk, N)
         params = self.state.ema_params if use_ema else self.state.params
         grid = self.state.density_bitfield
-        imgs, depths = [], []
+        has_normals = (self.cfg.render.compute_normals
+                       and self.cfg.render.occupancy)
+        imgs, depths, norms = [], [], []
         ld = None
         for s in range(0, N, chunk):
             e = min(s + chunk, N)
@@ -538,13 +553,110 @@ class Trainer:
                 ld = jnp.broadcast_to(jnp.asarray(ldir), ro.shape)
             annealing = min(self.host_step / max(self.cfg.train.iters, 1),
                             1.0)
-            img, depth, _ = self._eval_render(params, grid, ro, rd,
-                                              self.aabb, annealing, ld)
-            imgs.append(np.asarray(img[: e - s]))
-            depths.append(np.asarray(depth[: e - s]))
+            out = self._eval_render(params, grid, ro, rd,
+                                    self.aabb, annealing, ld)
+            imgs.append(np.asarray(out[0][: e - s]))
+            depths.append(np.asarray(out[1][: e - s]))
+            if has_normals:
+                norms.append(np.asarray(out[3][: e - s]))
         rgb = np.concatenate(imgs).reshape(H, W, 3)
         d = np.concatenate(depths).reshape(H, W)
+        if return_normals:
+            nm = (np.concatenate(norms).reshape(H, W, 3)
+                  if has_normals else None)
+            return rgb, d, nm
         return rgb, d
+
+    def estimate_exposure_levels(self, scene: SceneData) -> Dict:
+        """Per-eval HDR exposure-level estimation (train_utils.py:1008-1017):
+        render the exposure==1.0 view and take percentiles of the raw
+        prediction; the levels give every eval/test output a CONSISTENT
+        LDR exposure instead of per-image scaling."""
+        if scene.exposures is None:
+            return self.exposure_levels
+        ones = np.where(np.asarray(scene.exposures).reshape(-1) == 1.0)[0]
+        if len(ones) == 0:
+            return self.exposure_levels
+        i = int(ones[0])
+        rgb, _ = self.render_image(
+            scene.poses[i], scene.intrinsics, scene.H, scene.W,
+            ldir=scene.ldirs[i] if scene.ldirs is not None else None)
+        self.exposure_levels = {
+            p: float(np.percentile(rgb, p))
+            for p in self.cfg.exposure_percentiles}
+        if scene.meta is not None:
+            scene.meta.exposure_levels = dict(self.exposure_levels)
+        self.logger.log("[eval] exposure levels for consistent LDR "
+                        f"output: {self.exposure_levels}")
+        return self.exposure_levels
+
+    def log_histograms(self):
+        """Tensorboard histograms at eval cadence: per-parameter gradients
+        of the grid/view MLPs and hash grid (train_utils.py:919-930) plus
+        the density grid and mean density (train_utils.py:1155-1164).
+
+        Gradients are recomputed once with a dedicated jitted grad over a
+        fresh ray batch — the steady-state step never pays for returning
+        its gradient pytree."""
+        if self.logger.writer is None:
+            return
+        if not hasattr(self, "_grad_hist_fn"):
+            loss_fn = make_loss_fn(self.cfg, self.spec, self.num_rays)
+
+            def grads(state, scene, aabb):
+                k_batch, k_loss = jax.random.split(state.key)
+                annealing = jnp.clip(state.step / self.cfg.train.iters,
+                                     0.0, 1.0)
+                return jax.grad(loss_fn, has_aux=True)(
+                    state.params, state.pose_params, state, scene, aabb,
+                    k_batch, k_loss, annealing, True)[0]
+
+            self._grad_hist_fn = jax.jit(grads)
+        g = jax.device_get(self._grad_hist_fn(self.state,
+                                              self.scene_arrays, self.aabb))
+        step = self.host_step
+        for top in ("grid", "grid_mlp", "view_mlp"):
+            if top not in g:
+                continue
+            leaves = jax.tree_util.tree_leaves_with_path(g[top])
+            for path, leaf in leaves:
+                name = "".join(str(p.key) if hasattr(p, "key")
+                               else f"[{p.idx}]" if hasattr(p, "idx")
+                               else str(p) for p in path) or "w"
+                self.logger.histogram(f"grad/{top}/{name}",
+                                      np.asarray(leaf, np.float32), step)
+        if self.state.density_grid is not None:
+            dg = np.asarray(jax.device_get(self.state.density_grid))
+            self.logger.histogram("train/density_grid", dg, step)
+            self.logger.scalar(
+                "train/mean_density",
+                float(jax.device_get(self.state.mean_density)), step)
+
+    def log_optimized_poses(self):
+        """--log_poses: dump the current optimized poses to
+        workspace/poses/ for later animation and log Procrustes-aligned
+        errors (reference main.py:112, train_utils.py:737-738 allocates
+        the trace; the analysis loop lives in barf/camera_optimizers.py)."""
+        if self.state.pose_params is None:
+            return None
+        from raw_ngp_tpu.train.pose_analysis import (
+            analyze_pose_optimization,
+            refined_poses,
+        )
+        poses = refined_poses(self)
+        pose_dir = os.path.join(self.workspace, "poses")
+        os.makedirs(pose_dir, exist_ok=True)
+        np.save(os.path.join(pose_dir,
+                             f"poses_step{self.host_step:06d}.npy"),
+                poses[:, :3, :4])
+        errs = analyze_pose_optimization(self)
+        for k, v in errs.items():
+            self.logger.scalar(f"pose/{k}", v, self.host_step)
+        self.logger.log(
+            f"[pose] step {self.host_step}: "
+            f"rot {errs['rotation_deg']:.4f} deg, "
+            f"trans {errs['translation']:.5f}")
+        return errs
 
     def evaluate(self, scene: Optional[SceneData] = None,
                  use_ema: bool = False, save_artifacts: bool = False,
@@ -557,6 +669,8 @@ class Trainer:
 
         scene = scene or self.val_scene
         assert scene is not None
+        if self.cfg.data.image_mode == "HDR":
+            self.estimate_exposure_levels(scene)
         meters = metrics if metrics is not None else [PSNRMeter()]
         val_dir = os.path.join(self.workspace, "validation")
         eval_dir = os.path.join(self.workspace, "eval")
@@ -565,15 +679,21 @@ class Trainer:
         if export_npy:
             os.makedirs(eval_dir, exist_ok=True)
 
+        hdr = self.cfg.data.image_mode == "HDR"
+        cam2rgb = None
+        if hdr and scene.meta is not None and len(scene.meta.cam2rgb) > 0:
+            cam2rgb = np.asarray(scene.meta.cam2rgb[0])
+        want_normals = (self.cfg.render.compute_normals
+                        and self.cfg.render.occupancy)
         for i in range(scene.n_images):
-            rgb, depth = self.render_image(
+            rgb, depth, normal = self.render_image(
                 scene.poses[i], scene.intrinsics, scene.H, scene.W,
                 use_ema=use_ema,
-                ldir=scene.ldirs[i] if scene.ldirs is not None else None)
+                ldir=scene.ldirs[i] if scene.ldirs is not None else None,
+                return_normals=True)
             gt = scene.images[i][..., :3]
             rgb_m, gt_m = rgb, gt
-            if (self.cfg.data.image_mode == "HDR"
-                    and scene.exposures is not None):
+            if hdr and scene.exposures is not None:
                 rgb_m = np.minimum(1.0, rgb * scene.exposures[i])
                 gt_m = np.minimum(1.0, gt)
             for m in meters:
@@ -584,17 +704,33 @@ class Trainer:
             if save_artifacts:   # validation dumps (:1062-1111)
                 import imageio.v2 as iio
                 step = self.host_step
+                rgb_a, gt_a = rgb_m, gt_m
+                if hdr and cam2rgb is not None and self.exposure_levels:
+                    # consistent-exposure LDR dumps
+                    # (train_utils.py:1075-1096): predictions and truth
+                    # are postprocessed with the SAME exposure level
+                    from raw_ngp_tpu.postprocess.raw import postprocess_raw
+                    level = self.exposure_levels.get(
+                        self.cfg.data.exposure_percentile)
+                    rgb_a = postprocess_raw(rgb, cam2rgb, level)
+                    gt_a = postprocess_raw(gt, cam2rgb, level)
                 iio.imwrite(
                     os.path.join(val_dir, f"rgb_{step}_{i:03d}.png"),
-                    (np.clip(rgb_m, 0, 1) * 255).astype(np.uint8))
+                    (np.clip(rgb_a, 0, 1) * 255).astype(np.uint8))
                 d = depth / (depth.max() + 1e-8)
                 iio.imwrite(
                     os.path.join(val_dir, f"depth_{step}_{i:03d}.png"),
                     (np.clip(d, 0, 1) * 255).astype(np.uint8))
-                err = np.abs(rgb_m - gt_m).mean(-1)
+                err = np.abs(np.clip(rgb_a, 0, 1)
+                             - np.clip(gt_a, 0, 1)).mean(-1)
                 iio.imwrite(
                     os.path.join(val_dir, f"error_{step}_{i:03d}.png"),
                     (np.clip(err, 0, 1) * 255).astype(np.uint8))
+                if want_normals and normal is not None:
+                    iio.imwrite(
+                        os.path.join(val_dir,
+                                     f"normal_{step}_{i:03d}.png"),
+                        (np.clip(normal, 0, 1) * 255).astype(np.uint8))
 
         result = {m.name.lower(): m.measure() for m in meters}
         if "psnr" in result:
@@ -653,7 +789,10 @@ class Trainer:
             done += chunk
             if done % save_every < chunk:
                 self.save_checkpoint()
+            if self.cfg.pose_opt.log_poses:
+                self.log_optimized_poses()
             if done % eval_every < chunk and self.val_scene is not None:
+                self.log_histograms()
                 r = self.evaluate()
                 print(f"[eval] step {self.host_step}: "
                       + " ".join(f"{k}={v:.4f}" for k, v in r.items()))
@@ -671,30 +810,47 @@ class Trainer:
         save_dir = save_dir or os.path.join(self.workspace, "results")
         os.makedirs(save_dir, exist_ok=True)
         frames_rgb, frames_depth = [], []
+        frames_normal, frames_hdr = [], []
         cam2rgb = None
         meta = scene.meta if scene.meta else None
-        if (self.cfg.data.image_mode == "HDR" and meta
-                and len(meta.cam2rgb) > 0):
+        hdr = self.cfg.data.image_mode == "HDR"
+        if hdr and meta and len(meta.cam2rgb) > 0:
             cam2rgb = np.asarray(meta.cam2rgb[0])
+        if hdr and not self.exposure_levels:
+            # consistent-LDR exposure levels (train_utils.py:1008-1017);
+            # normally populated by the eval loop, re-estimated here when
+            # test runs standalone
+            self.estimate_exposure_levels(scene)
+        want_normals = (self.cfg.render.compute_normals
+                        and self.cfg.render.occupancy)
 
         for i in range(scene.n_images):
-            rgb, depth = self.render_image(
+            rgb, depth, normal = self.render_image(
                 scene.poses[i], scene.intrinsics, scene.H, scene.W,
-                ldir=scene.ldirs[i] if scene.ldirs is not None else None)
-            if self.cfg.data.image_mode == "HDR" and cam2rgb is not None:
+                ldir=scene.ldirs[i] if scene.ldirs is not None else None,
+                return_normals=True)
+            if hdr and cam2rgb is not None:
                 from raw_ngp_tpu.postprocess.raw import (
                     postprocess_raw,
                     postprocess_raw_hdr,
                 )
                 if self.cfg.hdr_merge_algo != "none":
-                    rgb = postprocess_raw_hdr(
+                    # HDR-merged frames feed their OWN video next to the
+                    # consistently exposed LDR one (train_utils.py:851-857)
+                    merged = postprocess_raw_hdr(
                         rgb, cam2rgb, self.cfg.exposure_percentiles,
                         self.cfg.hdr_merge_algo, self.cfg.data.hdr_tonemap)
-                else:
-                    rgb = postprocess_raw(rgb, cam2rgb)
+                    frames_hdr.append(
+                        (np.clip(merged, 0, 1) * 255).astype(np.uint8))
+                level = self.exposure_levels.get(
+                    self.cfg.data.exposure_percentile)
+                rgb = postprocess_raw(rgb, cam2rgb, level)
             frames_rgb.append((np.clip(rgb, 0, 1) * 255).astype(np.uint8))
             d = depth / (depth.max() + 1e-8)
             frames_depth.append((np.clip(d, 0, 1) * 255).astype(np.uint8))
+            if want_normals and normal is not None:
+                frames_normal.append(
+                    (np.clip(normal, 0, 1) * 255).astype(np.uint8))
 
         if write_video and len(frames_rgb) > 1:
             # pad to even dims for the codec (train_utils.py:836-848)
@@ -722,6 +878,10 @@ class Trainer:
 
             write("rgb", frames_rgb)
             write("depth", frames_depth)
+            if frames_normal:    # normals video (train_utils.py:854-855)
+                write("normals", frames_normal)
+            if frames_hdr:       # hdr-merged video (train_utils.py:856-857)
+                write("hdr", frames_hdr)
         else:
             for i, f in enumerate(frames_rgb):
                 iio.imwrite(os.path.join(save_dir, f"rgb_{i:03d}.png"), f)

@@ -109,7 +109,16 @@ class TrainConfig:
     adam_eps: float = 1e-15           # main.py:245
     anneal_lr: bool = False           # main.py:120 (cosine restarts)
     num_rays: int = 4096              # main.py:59
+    # TPU reformulation of the reference's adaptive ray batching
+    # (main.py:60, train_utils.py:563-564): the reference re-sizes every
+    # batch so num_rays * mean_samples_per_ray ~= num_points; XLA needs
+    # static shapes, so the Trainer instead GROWS num_rays by powers of
+    # two (up to max_num_rays, 0 = 4 * num_rays) whenever the measured
+    # live-sample count falls under half the compacted point budget —
+    # one extra compile per size, steady-state throughput scales with
+    # the occupancy-grid pruning exactly like the reference's scheme.
     adaptive_num_rays: bool = False   # main.py:60
+    max_num_rays: int = 0
     num_points: int = 2 ** 18         # main.py:61
     ema_decay: float = 0.95           # main.py:264
     fp16: bool = False                # AMP in the reference; bf16 compute here

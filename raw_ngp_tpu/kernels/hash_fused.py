@@ -1,4 +1,4 @@
-"""Fused hash-grid encode: 2-row-window gathers + a sort-based backward.
+"""Fused hash-grid encode: 2-row-window vrow gathers + slice scatter-add backward.
 
 Replaces jax.grad's default gather-transpose (an XLA scatter-add) for the
 hash table, and halves the gather/sort volume with an exact-semantics
@@ -16,24 +16,24 @@ observation about the table index (gridencoder.cu:46-79):
     slice of <= 8 floats costs the same single-slice gather as [1, C] on
     XLA:TPU, so the unified window path loses nothing.
 
-Either way ONE gather slice of shape [2, C] fetches both rows, so a level
-costs 2^(D-1) slices when pairable and 2^D otherwise, and the backward
-sorts one record per window instead of one per corner.
+Either way both interpolation rows of a window are ADJACENT, so a level
+costs 2^(D-1) windows when pairable and 2^D otherwise, and the backward
+scatters one slice per window instead of one scalar per corner-channel.
 
-Backward (replacing CUDA atomicAdd, gridencoder.cu:334-347):
+TPU execution (measured on v5e; see _vrow_cat/_window_forward): the table
+is stored FLAT [n_params*C] and gathered as 128-float vrows — narrow
+[2, C] slices from a [n, C] operand run 10-100x slower because XLA tiles
+any non-128 minor dimension up to 32x (T(8,128) padding) and the padded
+gather falls off the fast path. Channel selection + the window->level
+reduction then ride ONE fixed-tensor einsum on the MXU.
 
-  1. window gradient values v0 = w0 * dL/dfeat, v1 = w1 * dL/dfeat   (VPU)
-  2. sort (window base b, packed fp16 v0/v1 channels)                (lax.sort)
-  3. per-channel inclusive cumsum of sorted values
-  4. segment totals at segment ends -> strided monotone scatter-SET
-     (the only scatter form XLA:TPU executes fast)
-  5. rows gradient = G0 + shift(G1): base b accumulates v0 into row b and
-     v1 into row b+1, so the two segment-sum buffers combine with a one-row
-     shift — no conflicting scatter windows even where windows overlap
-     between neighboring cells.
-
-fp16 pre-accumulation matches the reference exactly (its backward scatters
-half-precision atomics via half2 atomicAdd); accumulation stays fp32.
+Backward (replacing CUDA atomicAdd, gridencoder.cu:334-347): ONE slice
+scatter-add per window — a window's whole contribution is a contiguous
+[2C]-float slice of the flat table at base*C, and XLA:TPU scatter-add
+costs per SLICE, not per float (see _window_bwd_table for the measured
+numbers that retired the earlier sort-based segment-sum design).
+Accumulation is full fp32 — strictly more precise than the reference's
+half-precision atomics.
 
 Gradients wrt inputs (pose refinement path, gridencoder.cu:205-248 dy_dx)
 are requested with ``need_input_grads=True``; they recompute the window
@@ -43,13 +43,16 @@ gather in the backward pass instead of saving the corner-value residual.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from raw_ngp_tpu.ops.hashgrid import HashGridSpec, _level_indices, _smoothstep
+from raw_ngp_tpu.ops.hashgrid import (
+    HashGridSpec,
+    _PRIMES,
+    _smoothstep,
+)
 
 
 def _level_pairable(spec: HashGridSpec, lv: int) -> bool:
@@ -63,20 +66,12 @@ def _level_pairable(spec: HashGridSpec, lv: int) -> bool:
             and hmap > res)
 
 
-def _windows_per_level(spec: HashGridSpec) -> Tuple[int, ...]:
-    D = spec.input_dim
-    return tuple((1 << (D - 1)) if _level_pairable(spec, lv) else (1 << D)
-                 for lv in range(spec.num_levels))
-
-
 def _pairable_split(spec: HashGridSpec) -> int:
     """Number of leading pairable levels. Pairability is monotone in the
     level index (resolutions only grow), so levels split into a pairable
     PREFIX and a non-pairable SUFFIX — each group has a uniform window
-    count, letting the forward reduce with ONE reshape-sum per group.
-    XLA then fuses gather -> weight -> reduce without materializing the
-    [B, P, 2, C] window tensor, whose tiny minor dims tile-pad 32x on TPU
-    (materializing it OOMs HBM at production sizes)."""
+    count, so window ordering stays level-major for the selection tensor
+    and the window->level map (_level_of_window)."""
     k = 0
     while k < spec.num_levels and _level_pairable(spec, k):
         k += 1
@@ -86,96 +81,116 @@ def _pairable_split(spec: HashGridSpec) -> int:
     return k
 
 
-def _frac_grid(x01, spec: HashGridSpec, lv: int):
-    res = spec.resolutions[lv]
-    if spec.align_corners:
-        pos = x01 * (res - 1)
-        grid = jnp.minimum(jnp.floor(pos), res - 2)
-    else:
-        pos = jnp.clip(x01 * res - 0.5, 0.0, res - 1)
-        grid = jnp.floor(pos)
-    frac = pos - grid
-    if spec.interpolation == "smoothstep":
-        frac = _smoothstep(frac)
-    return frac, grid.astype(jnp.int32), res
+def _level_indices_1d(spec: HashGridSpec, level: int, coords):
+    """ops.hashgrid._level_indices on per-component 1-D uint32 arrays.
+
+    TPU layout rule: a [B, D] coordinate array with D < 128 minor is
+    tile-padded 32x by XLA; keeping each component a separate 1-D [B]
+    array keeps every intermediate in the clean T(1024) layout."""
+    res = spec.resolutions[level]
+    hmap = spec.offsets[level + 1] - spec.offsets[level]
+    D = spec.input_dim
+    cu = [c.astype(jnp.uint32) for c in coords]
+
+    index = jnp.zeros_like(cu[0])
+    stride = 1
+    for d in range(D):
+        if stride > hmap:
+            break
+        index = index + cu[d] * jnp.uint32(stride & 0xFFFFFFFF)
+        stride *= res
+    overflow = stride > hmap
+
+    if spec.gridtype == "hash" and overflow:
+        if spec.hash_variant == "additive" and hmap > res:
+            g = jnp.zeros_like(cu[0])
+            for d in range(1, D):
+                g = g ^ (cu[d] * jnp.uint32(_PRIMES[d]))
+            index = cu[0] + g % jnp.uint32(hmap - res)
+        else:
+            h = jnp.zeros_like(cu[0])
+            for d in range(D):
+                h = h ^ (cu[d] * jnp.uint32(_PRIMES[d]))
+            index = h
+
+    return (index % jnp.uint32(hmap)) + jnp.uint32(spec.offsets[level])
 
 
 def _window_indices_weights(x01, spec: HashGridSpec):
-    """Window index/weight computation for every level.
+    """Window index/weight computation for every level, WINDOW-MAJOR.
 
     Returns:
-      base [B, P] int32 — start row of each 2-row gather window, clamped to
-        n_params-2 so every [2, C] slice is in-bounds;
-      w0, w1 [B, P] float32 — interpolation weight routed to row ``base`` /
+      base [P, B] int32 — start row of each 2-row gather window, clamped to
+        n_params-2 so both interpolation rows are in-bounds;
+      w0, w1 [P, B] float32 — interpolation weight routed to row ``base`` /
         ``base+1`` (clamped corners can land both weights on one row; the
         routing indicators absorb every case, including the degenerate
         single-corner windows of non-pairable levels where one weight is 0).
+
+    Everything here is computed on 1-D [B] per-component arrays and only
+    stacked to [P, B] (B minor — clean tiling) at the end: [B, small]
+    layouts tile-pad 32x on TPU and turned this stage into GBs of padded
+    traffic in the first implementation.
     """
     B, D = x01.shape
     L = spec.num_levels
     n_half = 1 << (D - 1)
     x01 = x01.astype(jnp.float32)
+    xs = [x01[:, d] for d in range(D)]                     # D x [B]
 
-    inb = jnp.all((x01 >= 0.0) & (x01 <= 1.0), axis=-1, keepdims=True)
-    x01 = jnp.where(inb, x01, 0.5)
-    inb_f = inb.astype(jnp.float32)
-
-    # bit patterns over dims 1..D-1 for the 2^(D-1) pair groups
-    hbits = np.array([[(c >> (d - 1)) & 1 for d in range(1, D)]
-                      for c in range(n_half)], dtype=np.float32)
-    hb = jnp.asarray(hbits)                                  # [2^(D-1), D-1]
-    hb_i = hb.astype(jnp.int32)
+    inb = (xs[0] >= 0.0) & (xs[0] <= 1.0)
+    for d in range(1, D):
+        inb = inb & (xs[d] >= 0.0) & (xs[d] <= 1.0)
+    inb_f = inb.astype(jnp.float32)                        # [B]
+    xs = [jnp.where(inb, x, 0.5) for x in xs]
     top = spec.n_params - 2
 
     bases, w0s, w1s = [], [], []
     for lv in range(L):
-        frac, grid, res = _frac_grid(x01, spec, lv)
-        # rest-dims corner coords [B, 2^(D-1), D-1] and weights [B, 2^(D-1)]
-        rest = jnp.minimum(grid[:, None, 1:] + hb_i, res - 1)
-        w_rest = jnp.prod(hb * frac[:, None, 1:]
-                          + (1.0 - hb) * (1.0 - frac[:, None, 1:]), axis=-1)
-        x_lo = jnp.broadcast_to(grid[:, None, :1], rest.shape[:-1] + (1,))
+        res = spec.resolutions[lv]
+        fr, gr = [], []
+        for d in range(D):
+            if spec.align_corners:
+                pos = xs[d] * (res - 1)
+                g0 = jnp.minimum(jnp.floor(pos), res - 2)
+            else:
+                pos = jnp.clip(xs[d] * res - 0.5, 0.0, res - 1)
+                g0 = jnp.floor(pos)
+            f = pos - g0
+            if spec.interpolation == "smoothstep":
+                f = _smoothstep(f)
+            fr.append(f)
+            gr.append(g0.astype(jnp.int32))
+        pairable = _level_pairable(spec, lv)
+        x_lo = gr[0]
         x_hi = jnp.minimum(x_lo + 1, res - 1)
-        cu = jnp.concatenate([x_lo, rest], axis=-1)
-        cv = jnp.concatenate([x_hi, rest], axis=-1)
-        u = _level_indices(spec, lv, cu).astype(jnp.int32)   # [B, 2^(D-1)]
-        v = _level_indices(spec, lv, cv).astype(jnp.int32)
-        w_u = (1.0 - frac[:, None, 0]) * w_rest
-        w_v = frac[:, None, 0] * w_rest
-
-        if _level_pairable(spec, lv):
-            b = jnp.minimum(jnp.minimum(u, v), top)
-            # route each corner weight to its slice position (0 or 1)
-            w0 = w_u * (u == b) + w_v * (v == b)
-            w1 = w_u * (u == b + 1) + w_v * (v == b + 1)
-            bases.append(b)
-            w0s.append(w0)
-            w1s.append(w1)
-        else:
-            # one degenerate window per corner: [2, C] slice at the corner's
-            # row with the second row's weight 0 (same gather cost; the
-            # routing below also absorbs the top clamp)
-            for idx, w in ((u, w_u), (v, w_v)):
-                b = jnp.minimum(idx, top)
+        for h in range(n_half):
+            rest = []
+            w_rest = inb_f
+            for d in range(1, D):
+                bit = (h >> (d - 1)) & 1
+                rest.append(jnp.minimum(gr[d] + bit, res - 1))
+                w_rest = w_rest * (fr[d] if bit else (1.0 - fr[d]))
+            u = _level_indices_1d(spec, lv, [x_lo] + rest).astype(jnp.int32)
+            v = _level_indices_1d(spec, lv, [x_hi] + rest).astype(jnp.int32)
+            w_u = (1.0 - fr[0]) * w_rest
+            w_v = fr[0] * w_rest
+            if pairable:
+                b = jnp.minimum(jnp.minimum(u, v), top)
+                # route each corner weight to its window position (0 or 1)
                 bases.append(b)
-                w0s.append(w * (idx == b))
-                w1s.append(w * (idx == b + 1))
+                w0s.append(w_u * (u == b) + w_v * (v == b))
+                w1s.append(w_u * (u == b + 1) + w_v * (v == b + 1))
+            else:
+                # one degenerate window per corner: second row's weight 0
+                # (same gather cost; the routing absorbs the top clamp)
+                for idx, w in ((u, w_u), (v, w_v)):
+                    b = jnp.minimum(idx, top)
+                    bases.append(b)
+                    w0s.append(w * (idx == b))
+                    w1s.append(w * (idx == b + 1))
 
-    base = jnp.concatenate(bases, axis=1)
-    w0 = jnp.concatenate(w0s, axis=1) * inb_f
-    w1 = jnp.concatenate(w1s, axis=1) * inb_f
-    return base, w0, w1
-
-
-def _window_gather(params, base):
-    """[B, P] bases -> [B, P, 2, C] table slices (one slice per window)."""
-    B, P = base.shape
-    dn = jax.lax.GatherDimensionNumbers(
-        offset_dims=(1, 2), collapsed_slice_dims=(), start_index_map=(0,))
-    flat = jax.lax.gather(
-        params, base.reshape(-1, 1), dn, (2, params.shape[1]),
-        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)   # bases clamped
-    return flat.reshape(B, P, 2, params.shape[1])
+    return jnp.stack(bases), jnp.stack(w0s), jnp.stack(w1s)   # [P, B]
 
 
 def _group_extents(spec: HashGridSpec):
@@ -192,31 +207,126 @@ def _group_extents(spec: HashGridSpec):
     return tuple(groups)
 
 
-def _window_forward(params, base, w0, w1, spec: HashGridSpec):
-    B = base.shape[0]
+def _total_windows(spec: HashGridSpec) -> int:
+    return sum(nl * nw for nl, nw, _ in _group_extents(spec))
+
+
+def _vrow_cat(params_flat):
+    """Flat [n_params*C] table -> (cat [2*Rv, 128], n_rows_of_view_A).
+
+    TPU layout rule: any device tensor whose minor dimension is not 128
+    lanes is tile-padded up to 32x by XLA (T(8,128) tiling). The table is
+    therefore STORED flat and viewed as 128-float "vrows" (128/C table
+    rows each). A 2-row window starting at table row b sits inside ONE
+    vrow unless b is the last row of its vrow; the second view, shifted
+    by half a vrow (64 floats), covers exactly those crossing windows.
+    One [1, 128] row gather per window then fetches both interpolation
+    rows at the measured fast-path cost (~4 ns/slice, vs ~60 ns+ for
+    narrow slices from a padded [n, C] operand)."""
+    pf = params_flat
+    pad = (-pf.shape[0]) % 128
+    pf = jnp.concatenate([pf, jnp.zeros((pad + 64,), pf.dtype)])
+    A = pf[:pf.shape[0] - 64].reshape(-1, 128)
+    Bv = pf[64:].reshape(-1, 128)
+    return jnp.concatenate([A, Bv], axis=0), A.shape[0]
+
+
+@functools.lru_cache(maxsize=None)
+def _level_of_window(spec: HashGridSpec):
+    """Static window -> level map (level-major window ordering, matching
+    _window_indices_weights)."""
+    lvl_of_w = []
+    lv0 = 0
+    for nl, nw, _ in _group_extents(spec):
+        for lv in range(lv0, lv0 + nl):
+            lvl_of_w.extend([lv] * nw)
+        lv0 += nl
+    return tuple(lvl_of_w)
+
+
+@functools.lru_cache(maxsize=None)
+def _sel_tensor_np(spec: HashGridSpec):
+    """Fixed selection tensor S [P, 128, L*C] folding channel extraction
+    AND the window->level reduction into one MXU contraction:
+    S[w, k, l*C + c] = (k mod C == c) * (level_of_window(w) == l)."""
     C = spec.level_dim
-    dt = params.dtype
-    parts = []
-    for nl, nw, ofs in _group_extents(spec):
-        p = nl * nw
-        # one flat gather -> mul -> reduce chain per group. Do NOT slice
-        # the gather result along the window-row dim: XLA materializes the
-        # sliced [B, p, 1, C] with (1, 128) tiling — a 32x padding blowup
-        # that OOMs HBM at production sizes. Interleaving the two row
-        # weights instead keeps the whole chain a fusable elementwise+reduce
-        # over the gather output (bitcast-reshaped, never copied).
-        vals = _window_gather(params, base[:, ofs:ofs + p])  # [B, p, 2, C]
-        w01 = jnp.stack([w0[:, ofs:ofs + p], w1[:, ofs:ofs + p]],
-                        axis=2).astype(dt)                   # [B, p, 2]
-        f = vals.reshape(B, 2 * p, C) * w01.reshape(B, 2 * p)[..., None]
-        parts.append(
-            f.reshape(B, nl, 2 * nw, C).sum(axis=2).reshape(B, nl * C))
-    return jnp.concatenate(parts, axis=1)                   # [B, L*C]
+    L = spec.num_levels
+    lvl_of_w = _level_of_window(spec)
+    P = len(lvl_of_w)
+    S = np.zeros((P, 128, L * C), np.float32)
+    for w in range(P):
+        l = lvl_of_w[w]
+        for k in range(128):
+            S[w, k, l * C + (k % C)] = 1.0
+    return S
+
+
+def _window_forward(params, base, w0, w1, spec: HashGridSpec,
+                    compute_dtype=None):
+    """Encode forward from window-major records: one 128-lane vrow gather
+    per window, a lane-masked routing multiply (pure elementwise, fused
+    by XLA into the gather consumer), and a per-window MXU contraction
+    that both selects the C channels of the 2 target rows and sums
+    windows into their level's features. Every intermediate is 1-D or
+    keeps a >=128 minor dim — no tile padding anywhere (see _vrow_cat).
+
+    base/w0/w1: [P, B] from _window_indices_weights.
+    Returns [B, L*C] in the compute dtype."""
+    P, B = base.shape
+    C = spec.level_dim
+    assert 128 % C == 0 and (C & (C - 1)) == 0 and C <= 64, \
+        "level_dim must be a power of two <= 64"
+    GPL = 128 // C                     # table rows per vrow
+    shift = GPL.bit_length() - 1
+    M = P * B
+    dt = compute_dtype or params.dtype
+
+    # canonical storage is flat [n_params*C]; legacy [n_params, C] inputs
+    # (tests, external callers) are viewed flat — same row-major order
+    cat, nA = _vrow_cat(params.reshape(-1).astype(dt))
+    pos = base & (GPL - 1)
+    cross = pos == (GPL - 1)           # window spans two vrows of view A
+    vrow = jnp.where(cross, ((base - GPL // 2) >> shift) + nA,
+                     base >> shift)
+    p = jnp.where(cross, (GPL // 2) - 1, pos)
+    rows = cat[vrow.reshape(-1)]                          # [M, 128]
+    g128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) >> \
+        (C.bit_length() - 1)                              # lane -> row group
+    p_ = p.reshape(M, 1)
+    u = (w0.reshape(M, 1) * (g128 == p_)
+         + w1.reshape(M, 1) * (g128 == p_ + 1)).astype(dt)
+    prod = (rows * u).reshape(P, B, 128)
+    S = jnp.asarray(_sel_tensor_np(spec), dt)
+    # accumulated per-window matmuls [B, 128] @ [128, L*C]: windows whose
+    # lanes u zeroed contribute nothing outside their own level's columns,
+    # so the accumulation IS the window->level reduction
+    out = jax.lax.dot_general(
+        prod, S, (((2,), (1,)), ((0,), (0,)))).sum(axis=0)
+    return out.astype(dt)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def hash_encode_fused(params, x01, spec: HashGridSpec,
+                      need_input_grads: bool = False, compute_dtype=None):
+    """Drop-in replacement for ops.hashgrid.hash_encode_01 on a FLAT
+    [n_params*C] table, with 128-lane vrow gathers and the sort-based
+    table gradient. x01 in [0, 1]^D; compute_dtype (e.g. bfloat16) sets
+    the gather/contract precision while the table and its gradient stay
+    in the table's own dtype."""
+    base, w0, w1 = _window_indices_weights(x01, spec)
+    return _window_forward(params, base, w0, w1, spec, compute_dtype)
+
+
+def _fused_fwd(params, x01, spec, need_input_grads, compute_dtype):
+    base, w0, w1 = _window_indices_weights(x01, spec)
+    out = _window_forward(params, base, w0, w1, spec, compute_dtype)
+    return out, (params, x01, base, w0, w1)
 
 
 def _pack_f16_pairs(chans):
     """List of [M] f32 arrays -> list of [M] u32 sort payloads, two fp16
-    values per word (halves the sorted payload)."""
+    values per word (halves the sorted payload; parity with the
+    reference's half-precision atomics, gridencoder.cu:334-347)."""
     if len(chans) % 2 == 1:
         chans = chans + [jnp.zeros_like(chans[0])]
     packed = []
@@ -244,13 +354,14 @@ def _segment_sum_sorted_scatter(keys_sorted, val_channels, n_rows: int):
     grouped by ``keys_sorted`` (ascending): segment_total(k) =
     inclusive_csum[end(k)] - exclusive_csum[start(k)], realized as one
     sorted-unique scatter-SET per channel (the only scatter form XLA:TPU
-    executes fast, ~1 ns/slice; scatter-add is ~40 ns regardless of flags,
-    and associative_scan at 33M elements blows up the TPU compiler).
+    executes fast; scatter-add is orders of magnitude slower regardless
+    of flags, and associative_scan at 33M elements blows up the TPU
+    compiler).
 
     Everything stays in 1-D [M] arrays: 2-D [M, C] layouts with tiny minor
     dims waste 124/128 vector lanes on TPU and multiply the cumsum cost.
 
-    val_channels: list of C arrays [M]. Returns [n_rows, C].
+    val_channels: list of arrays [M]. Returns [n_rows, len(val_channels)].
     """
     boundary = keys_sorted[1:] != keys_sorted[:-1]
     is_end = jnp.concatenate([boundary, jnp.ones((1,), jnp.bool_)])
@@ -262,7 +373,8 @@ def _segment_sum_sorted_scatter(keys_sorted, val_channels, n_rows: int):
     #   middle element -> 3k + 1 (discarded slot; duplicate writes land
     #                             here, value irrelevant)
     #   segment end    -> 3k + 2 (inclusive csum)
-    # Singletons take the end branch and write inc - exc = their own value.
+    # Singletons take the end branch and write their own value, with the
+    # untouched start slot contributing 0.
     dest = jnp.where(
         is_end, 3 * keys_sorted + 2,
         jnp.where(is_start, 3 * keys_sorted, 3 * keys_sorted + 1))
@@ -284,70 +396,45 @@ def _segment_sum_sorted_scatter(keys_sorted, val_channels, n_rows: int):
                             unique_indices=True)
         tri = s.reshape(n_rows, 3)
         out.append(tri[:, 2] - tri[:, 0])
-    return jnp.stack(out, axis=-1)                                 # [n_rows, C]
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def hash_encode_fused(params, x01, spec: HashGridSpec,
-                      need_input_grads: bool = False):
-    """Drop-in replacement for ops.hashgrid.hash_encode_01 with 2-row-window
-    gathers and the sort-based table gradient. x01 in [0, 1]^D."""
-    base, w0, w1 = _window_indices_weights(x01, spec)
-    return _window_forward(params, base, w0, w1, spec)
-
-
-def _fused_fwd(params, x01, spec, need_input_grads):
-    base, w0, w1 = _window_indices_weights(x01, spec)
-    out = _window_forward(params, base, w0, w1, spec)
-    return out, (params, x01, base, w0, w1)
+    return jnp.stack(out, axis=-1)
 
 
 def _window_bwd_table(spec, res, g):
     """Table gradient through the window scheme: sort window records,
-    segment-sum 2C channels, combine G0 + shift(G1)."""
+    segment-sum 2C channels, combine G0 + shift(G1) into the flat table."""
     params, x01, base, w0, w1 = res
-    B, P = base.shape
+    P, B = base.shape
     C = spec.level_dim
-    M = B * P
+    M = P * B
 
-    g_lc = g.reshape(B, spec.num_levels, C).astype(jnp.float32)
-    # per-group uniform [B, nl, nw] weight blocks (fusion-friendly; see
-    # _pairable_split) -> per-channel flat [M] record values
-    chans0, chans1 = [[] for _ in range(C)], [[] for _ in range(C)]
-    lv0 = 0
-    for nl, nw, ofs in _group_extents(spec):
-        p = nl * nw
-        w0r = w0[:, ofs:ofs + p].reshape(B, nl, nw)
-        w1r = w1[:, ofs:ofs + p].reshape(B, nl, nw)
-        g_grp = g_lc[:, lv0:lv0 + nl, None, :]              # [B, nl, 1, C]
+    # gT rows are clean 1-D [B] slices; g itself is [B, L*C] whose L*C
+    # minor would tile-pad any per-level slicing — one transpose instead
+    gT = g.astype(jnp.float32).T                            # [L*C, B]
+    lvl_of_w = _level_of_window(spec)
+
+    # per-channel window-major record values, matching keys = base.reshape
+    # (M) (m = w*B + b)
+    chans = []
+    for wsel in (w0, w1):
         for c in range(C):
-            chans0[c].append((w0r * g_grp[..., c]).reshape(B * p))
-            chans1[c].append((w1r * g_grp[..., c]).reshape(B * p))
-        lv0 += nl
-
-    def cat(parts_by_b):
-        # records flat in [B-major, window] order must match keys below:
-        # keys = base.reshape(M) is [B, P] flattened B-major, while group
-        # parts are [B, p] — interleave per B via stacking along axis 1
-        return jnp.concatenate(
-            [p.reshape(B, -1) for p in parts_by_b], axis=1).reshape(M)
+            chans.append(jnp.stack(
+                [wsel[w] * gT[lvl_of_w[w] * C + c] for w in range(P)]
+            ).reshape(M))
 
     keys = base.reshape(M)
-    chans = ([cat(chans0[c]) for c in range(C)]
-             + [cat(chans1[c]) for c in range(C)])
     packed = _pack_f16_pairs(chans)
     sorted_ops = jax.lax.sort([keys] + packed, num_keys=1)
     keys_s = sorted_ops[0]
     val_channels = _unpack_f16_pairs(sorted_ops[1:], 2 * C)
     totals = _segment_sum_sorted_scatter(keys_s, val_channels,
-                                         spec.n_params)      # [n, 2C]
+                                         spec.n_params)     # [n, 2C]
     g0, g1 = totals[:, :C], totals[:, C:]
     # v1 recorded at base b belongs to row b+1
     grad = g0 + jnp.concatenate([jnp.zeros_like(g1[:1]), g1[:-1]], axis=0)
-    return grad.astype(params.dtype)
+    return grad.reshape(params.shape).astype(params.dtype)
 
 
-def _fused_bwd(spec, need_input_grads, res, g):
+def _fused_bwd(spec, need_input_grads, compute_dtype, res, g):
     params, x01, base, w0, w1 = res
     grad_table = _window_bwd_table(spec, res, g)
 
@@ -362,7 +449,8 @@ def _fused_bwd(spec, need_input_grads, res, g):
 
     def weights_path(x):
         _, w0x, w1x = _window_indices_weights(x, spec)
-        return _window_forward(frozen, base, w0x, w1x, spec)
+        return _window_forward(frozen, base, w0x, w1x, spec,
+                               compute_dtype)
 
     _, vjp = jax.vjp(weights_path, x01)
     (grad_x,) = vjp(g)
@@ -373,7 +461,8 @@ hash_encode_fused.defvjp(_fused_fwd, _fused_bwd)
 
 
 def hash_encode_fast(params, x, spec: HashGridSpec, bound: float = 1.0,
-                     need_input_grads: bool = False):
+                     need_input_grads: bool = False, compute_dtype=None):
     """World-space wrapper (mirrors ops.hashgrid.hash_encode)."""
     x01 = (x + bound) / (2.0 * bound)
-    return hash_encode_fused(params, x01, spec, need_input_grads)
+    return hash_encode_fused(params, x01, spec, need_input_grads,
+                             compute_dtype)

@@ -170,7 +170,8 @@ def _encode(params_table, x, grid_spec, spec: FieldSpec):
         from raw_ngp_tpu.kernels.hash_fused import hash_encode_fast
         return hash_encode_fast(params_table, x, grid_spec,
                                 bound=cfg.grid_bound,
-                                need_input_grads=spec.needs_input_grads)
+                                need_input_grads=spec.needs_input_grads,
+                                compute_dtype=spec.compute_dtype)
     return hash_encode(params_table, x, grid_spec, bound=cfg.grid_bound)
 
 

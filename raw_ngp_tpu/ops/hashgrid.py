@@ -113,9 +113,15 @@ class HashGridSpec:
 def init_hashgrid_params(key, spec: HashGridSpec,
                          dtype=jnp.float32) -> jnp.ndarray:
     """U(-1e-4, 1e-4) init (grid.py:144-146). fp32 — gradients scatter-add
-    into this table, so keep full precision."""
+    into this table, so keep full precision.
+
+    The table is stored FLAT [n_params * level_dim] (row r's channels at
+    [r*C, (r+1)*C)): on TPU a [n, C] device array is tile-padded 32x by
+    XLA's (8, 128) tiling, which bloats HBM and knocks every gather off
+    the fast path (kernels/hash_fused.py measurements). Consumers that
+    want the logical 2-D view reshape on entry."""
     return jax.random.uniform(
-        key, (spec.n_params, spec.level_dim), dtype=dtype,
+        key, (spec.n_params * spec.level_dim,), dtype=dtype,
         minval=-1e-4, maxval=1e-4)
 
 
@@ -166,7 +172,7 @@ def hash_encode_01(params, x01, spec: HashGridSpec, max_level=None):
     """Encode positions already mapped to [0, 1]^D.
 
     Args:
-      params: [n_params, C] table.
+      params: flat [n_params*C] table (or legacy [n_params, C]).
       x01: [B, D] float32.
       max_level: optional static int — zero out levels >= max_level
         (grid.py:41,52).
@@ -175,6 +181,7 @@ def hash_encode_01(params, x01, spec: HashGridSpec, max_level=None):
     """
     B, D = x01.shape
     L, C = spec.num_levels, spec.level_dim
+    params = params.reshape(spec.n_params, C)
     n_corners = 1 << D
     x01 = x01.astype(jnp.float32)
 
@@ -247,6 +254,7 @@ def weight_decay_loss(params, spec: HashGridSpec):
     """Level-meaned weight decay (zip-nerf style, gridencoder.cu:670-703):
     each level contributes ||emb_l||^2 / (2 * n_params_l) so gradients are
     weight * emb / n_params_l."""
+    params = params.reshape(spec.n_params, spec.level_dim)
     total = 0.0
     for lv in range(spec.num_levels):
         lo, hi = spec.offsets[lv], spec.offsets[lv + 1]
@@ -260,6 +268,7 @@ def total_variation_loss(params, spec: HashGridSpec, key, n_samples: int = 65536
     random points (the reference samples B=1e6 random points,
     grid.py:178-198). Penalizes squared feature differences between the two
     corners along each axis of the cell containing each sample."""
+    params = params.reshape(spec.n_params, spec.level_dim)
     D = spec.input_dim
     x01 = jax.random.uniform(key, (n_samples, D))
     total = 0.0

@@ -309,8 +309,13 @@ def render_occupancy(
     if ratio > 0:
         # evaluate the field only on the packed valid samples — the static
         # equivalent of the reference's exact CSR compaction + 2^18-point
-        # budget (adaptive_num_rays, train_utils.py:563-564)
-        m_pad = max(int(N * K * ratio) // 128 * 128, 128)
+        # budget (adaptive_num_rays, train_utils.py:563-564). The budget
+        # is anchored to the BASE cfg.train.num_rays so that adaptive ray
+        # growth (Trainer._maybe_grow_num_rays) raises throughput at a
+        # CONSTANT field-evaluation cost per step; smaller eval chunks
+        # keep their proportional budget.
+        m_pad = max(int(min(N, cfg.train.num_rays) * K * ratio)
+                    // 128 * 128, 128)
         # over-budget steps decimate samples UNIFORMLY along each ray and
         # scale dt by the stride (coarser but consistent transmittance —
         # the reference instead shrinks next step's ray count); tail

@@ -450,6 +450,9 @@ class Trainer:
         # train_utils.py:1008-1017), populated per eval by
         # estimate_exposure_levels
         self.exposure_levels: Dict[float, float] = {}
+        # adaptive ray batching state (_maybe_grow_num_rays)
+        self._pts_ema = None
+        self._step_cache = {self.num_rays: self._train_step}
         # observability (train_utils.py:428-432 console+file, :919-937
         # tensorboard; rays/points counters per SURVEY §5.1)
         from raw_ngp_tpu.utils.logging import RunLogger, ThroughputMeter
@@ -482,10 +485,45 @@ class Trainer:
         return arrays
 
     # ------------------------------------------------------------------
+    def _maybe_grow_num_rays(self, metrics):
+        """TPU adaptive ray batching (train_utils.py:563-564 semantics):
+        once the occupancy grid prunes enough that the live-sample count
+        uses under half the compacted point budget, double the ray batch
+        (sticky, powers of two, capped). Each size compiles once; the
+        point budget is anchored to the base num_rays
+        (render/occupancy.py), so the per-step field-evaluation cost is
+        constant while rays/s scales with the pruning ratio."""
+        cfg = self.cfg
+        cap = cfg.train.max_num_rays or 4 * cfg.train.num_rays
+        if self.num_rays * 2 > cap:
+            return
+        pts = float(jax.device_get(metrics["num_points"]))
+        self._pts_ema = (pts if self._pts_ema is None
+                         else 0.7 * self._pts_ema + 0.3 * pts)
+        budget = max(int(cfg.train.num_rays * cfg.render.samples_per_ray
+                         * cfg.render.compact_ratio) // 128 * 128, 128)
+        if self._pts_ema * 2.0 <= 0.9 * budget:
+            self.num_rays *= 2
+            self._pts_ema *= 2.0     # same scene, twice the rays
+            if self.num_rays not in self._step_cache:
+                self._step_cache[self.num_rays] = make_train_step(
+                    cfg, self.spec, self.net_tx, self.pose_tx,
+                    self.num_rays)
+            self._train_step = self._step_cache[self.num_rays]
+            self.logger.log(f"[train] adaptive num_rays -> "
+                            f"{self.num_rays} (live pts/step "
+                            f"{self._pts_ema:.0f} vs budget {budget})")
+
     def train(self, iters: Optional[int] = None, log_every: int = 100):
         iters = iters or self.cfg.train.iters
         t0 = time.time()
+        total_rays = 0
         interval = self.cfg.render.update_extra_interval
+        adaptive = (self.cfg.train.adaptive_num_rays
+                    and self.cfg.render.occupancy
+                    and self.cfg.render.compact_ratio > 0
+                    and self.mesh is None)
+        metrics = None
         for i in range(iters):
             # host-side step counter: no device sync in the hot loop (the
             # reference forces one per step, raymarching.py:303)
@@ -494,9 +532,15 @@ class Trainer:
                 self.state = self._grid_update(self.state,
                                                self.host_grid_updates)
                 self.host_grid_updates += 1
+                # one device fetch per refresh interval, after the first
+                # full-sweep phase (grid still dense before that)
+                if (adaptive and self.host_grid_updates > 16
+                        and metrics is not None):
+                    self._maybe_grow_num_rays(metrics)
             self.state, metrics = self._train_step(
                 self.state, self.scene_arrays, self.aabb)
             self.host_step += 1
+            total_rays += self.num_rays
             self.throughput.update(self.num_rays)
             if (i + 1) % log_every == 0 or i == 0:
                 loss = float(metrics["loss"])
@@ -515,7 +559,7 @@ class Trainer:
         # block_until_ready alone returns early on remote-tunnel backends
         self.stats["loss"].append(float(jax.device_get(metrics["loss"])))
         dt = time.time() - t0
-        rays_per_sec = iters * self.num_rays / dt
+        rays_per_sec = total_rays / dt
         print(f"[train] {iters} steps in {dt:.1f}s = "
               f"{rays_per_sec:,.0f} rays/s")
         return {"wall_time": dt, "rays_per_sec": rays_per_sec}

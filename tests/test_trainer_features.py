@@ -116,3 +116,29 @@ def test_histograms_logged(tmp_path):
     assert any(t.startswith("grad/grid") for t in logged), logged
     assert "train/density_grid" in logged
     assert "train/mean_density" in logged
+
+
+def test_adaptive_num_rays_grows(tmp_path):
+    """TPU adaptive ray batching (train_utils.py:563-564 semantics): when
+    the occupancy grid prunes most samples, the trainer doubles num_rays
+    (sticky, capped) while the compacted point budget stays anchored to
+    the base num_rays."""
+    cfg = tiny_cfg()
+    cfg = replace(cfg, render=replace(cfg.render,
+                                      update_extra_interval=1,
+                                      compact_ratio=0.5))
+    cfg = replace(cfg, train=replace(cfg.train, adaptive_num_rays=True,
+                                     max_num_rays=512, num_rays=128))
+    ts, vs = make_synthetic_scene(n_train=4, n_val=1, H=16, W=16)
+    tr = Trainer(cfg, ts, vs, workspace=str(tmp_path))
+    # empty the grid: every candidate is pruned, so live points/step fall
+    # far under the budget and growth must trigger
+    tr.state = tr.state.replace(
+        density_bitfield=jnp.zeros_like(tr.state.density_bitfield))
+    tr.host_grid_updates = 20           # past the full-sweep phase
+    tr._grid_update = lambda state, it: state   # keep the grid empty
+    tr.train(iters=8, log_every=8)
+    assert tr.num_rays == 512, tr.num_rays     # grew 128 -> 256 -> 512
+    assert np.isfinite(tr.stats["loss"][-1])
+    # budget stayed anchored: a second step function exists per size
+    assert set(tr._step_cache) == {128, 256, 512}

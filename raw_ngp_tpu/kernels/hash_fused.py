@@ -1,4 +1,4 @@
-"""Fused hash-grid encode: 2-row-window vrow gathers + slice scatter-add backward.
+"""Fused hash-grid encode: 2-row-window vrow gathers + sorted segment-sum backward.
 
 Replaces jax.grad's default gather-transpose (an XLA scatter-add) for the
 hash table, and halves the gather/sort volume with an exact-semantics
@@ -27,13 +27,13 @@ any non-128 minor dimension up to 32x (T(8,128) padding) and the padded
 gather falls off the fast path. Channel selection + the window->level
 reduction then ride ONE fixed-tensor einsum on the MXU.
 
-Backward (replacing CUDA atomicAdd, gridencoder.cu:334-347): ONE slice
-scatter-add per window — a window's whole contribution is a contiguous
-[2C]-float slice of the flat table at base*C, and XLA:TPU scatter-add
-costs per SLICE, not per float (see _window_bwd_table for the measured
-numbers that retired the earlier sort-based segment-sum design).
-Accumulation is full fp32 — strictly more precise than the reference's
-half-precision atomics.
+Backward (replacing CUDA atomicAdd, gridencoder.cu:334-347): sort the
+window records by table row (values ride the sort as packed-bf16 u32
+payloads — pure bit arithmetic, f16 is not TPU-native), take exact
+per-row segment sums via 1-D cumsums, and write them with the monotone
+sorted-unique scatter-SET — the only scatter form XLA:TPU executes fast
+(scatter-ADD was measured 10-100x slower at this scale in every
+formulation, including slice updates).
 
 Gradients wrt inputs (pose refinement path, gridencoder.cu:205-248 dy_dx)
 are requested with ``need_input_grads=True``; they recompute the window
@@ -323,29 +323,30 @@ def _fused_fwd(params, x01, spec, need_input_grads, compute_dtype):
     return out, (params, x01, base, w0, w1)
 
 
-def _pack_f16_pairs(chans):
-    """List of [M] f32 arrays -> list of [M] u32 sort payloads, two fp16
-    values per word (halves the sorted payload; parity with the
-    reference's half-precision atomics, gridencoder.cu:334-347)."""
+def _pack_bf16_pairs(chans):
+    """List of [M] f32 arrays -> list of [M] u32 sort payloads, two bf16
+    values per word (halves the sorted payload; the half-precision
+    pre-accumulation mirrors the reference's fp16 atomics,
+    gridencoder.cu:334-347). bf16 is just the top 16 bits of f32, so the
+    pack/unpack is pure u32 bit arithmetic — float16 is NOT TPU-native
+    and its conversions go through slow emulation."""
     if len(chans) % 2 == 1:
         chans = chans + [jnp.zeros_like(chans[0])]
     packed = []
     for c in range(0, len(chans), 2):
-        hi = jax.lax.bitcast_convert_type(
-            chans[c].astype(jnp.float16), jnp.uint16).astype(jnp.uint32)
-        lo = jax.lax.bitcast_convert_type(
-            chans[c + 1].astype(jnp.float16), jnp.uint16).astype(jnp.uint32)
-        packed.append((hi << 16) | lo)
+        hi = jax.lax.bitcast_convert_type(chans[c], jnp.uint32) \
+            & jnp.uint32(0xFFFF0000)
+        lo = jax.lax.bitcast_convert_type(chans[c + 1], jnp.uint32) >> 16
+        packed.append(hi | lo)
     return packed
 
 
-def _unpack_f16_pairs(packed, n):
+def _unpack_bf16_pairs(packed, n):
     chans = []
     for ps in packed:
-        hi = (ps >> 16).astype(jnp.uint16)
-        lo = (ps & 0xFFFF).astype(jnp.uint16)
-        chans.append(jax.lax.bitcast_convert_type(hi, jnp.float16))
-        chans.append(jax.lax.bitcast_convert_type(lo, jnp.float16))
+        chans.append(jax.lax.bitcast_convert_type(
+            ps & jnp.uint32(0xFFFF0000), jnp.float32))
+        chans.append(jax.lax.bitcast_convert_type(ps << 16, jnp.float32))
     return chans[:n]
 
 
@@ -422,10 +423,10 @@ def _window_bwd_table(spec, res, g):
             ).reshape(M))
 
     keys = base.reshape(M)
-    packed = _pack_f16_pairs(chans)
+    packed = _pack_bf16_pairs(chans)
     sorted_ops = jax.lax.sort([keys] + packed, num_keys=1)
     keys_s = sorted_ops[0]
-    val_channels = _unpack_f16_pairs(sorted_ops[1:], 2 * C)
+    val_channels = _unpack_bf16_pairs(sorted_ops[1:], 2 * C)
     totals = _segment_sum_sorted_scatter(keys_s, val_channels,
                                          spec.n_params)     # [n, 2C]
     g0, g1 = totals[:, :C], totals[:, C:]

@@ -52,7 +52,11 @@ def composite_rays(
     # (exclusive) cumsum, NOT csum - sdelta: when sigma*delta overflows to
     # inf the subtraction produces inf - inf = NaN for that sample, whereas
     # the shifted form stays exact (exp(-inf) = 0 downstream).
-    csum = jnp.cumsum(sdelta, axis=-1)
+    # Scan along the MAJOR axis: an XLA:TPU cumsum over the minor (lane)
+    # dimension scans within vregs and runs ~30x slower than the
+    # sublane-major direction (CLAUDE.md cost model); two [N, K]<->[K, N]
+    # transposes are noise by comparison.
+    csum = jnp.cumsum(sdelta.T, axis=0).T
     excl = jnp.concatenate(
         [jnp.zeros_like(csum[..., :1]), csum[..., :-1]], axis=-1)
     trans_before = jnp.exp(-excl)
@@ -95,7 +99,9 @@ def bins_to_weights(sigmas, real_bins, last_sample_opaque: bool = False):
         ds = jnp.concatenate(
             [ds[..., :-1], jnp.full_like(ds[..., -1:], jnp.inf)], axis=-1)
     alphas = 1.0 - jnp.exp(-ds)
-    csum = jnp.cumsum(ds, axis=-1)
+    # major-axis scan via transposes — see composite_rays
+    csum = jnp.swapaxes(jnp.cumsum(jnp.swapaxes(ds, 0, -1), axis=0),
+                        0, -1)
     # shifted exclusive cumsum — see composite_rays for the inf-safety note
     excl = jnp.concatenate(
         [jnp.zeros_like(csum[..., :1]), csum[..., :-1]], axis=-1)

@@ -141,8 +141,10 @@ def march_rays(
                               bound, contract, grid_size, cascades)
     occ = occ & (t_cand < fars)                             # guard padding
 
-    # stream compaction: slot of each occupied candidate within its ray
-    slot = jnp.cumsum(occ.astype(jnp.int32), axis=-1) - 1   # [N, S]
+    # stream compaction: slot of each occupied candidate within its ray.
+    # The per-ray scan runs along the MAJOR axis in [S, N] form (minor-
+    # axis cumsums scan within vector lanes, ~30x slower on TPU).
+    slot = jnp.cumsum(occ.astype(jnp.int32).T, axis=0).T - 1  # [N, S]
     keep = occ & (slot < K)
     slot = jnp.where(keep, slot, K)                         # K = dump slot
 
@@ -322,7 +324,7 @@ def render_occupancy(
         # truncation only remains as a backstop for rounding overflow
         valid_total = mask.sum()
         stride = jnp.maximum((valid_total + m_pad - 1) // m_pad, 1)
-        k_idx = jnp.cumsum(mask.astype(jnp.int32), axis=-1) - 1
+        k_idx = jnp.cumsum(mask.astype(jnp.int32).T, axis=0).T - 1
         mask = mask & ((k_idx % stride) == 0)
         deltas = deltas * stride.astype(deltas.dtype)
         packs = [xyzs, dirs_nk] + ([ld_nk] if ld_nk is not None else [])

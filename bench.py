@@ -54,8 +54,15 @@ def main():
     jax.block_until_ready(tr.state.params["grid"])
     dt = time.time() - t0
 
-    rays_per_sec = iters * cfg.train.num_rays / dt
+    rays_per_sec = iters * tr.num_rays / dt
     points_per_sec = rays_per_sec * cfg.render.samples_per_ray
+
+    # quality benchmark beside throughput (VERDICT r1 #6; protocol mirrors
+    # debug/eval.py:157-205 pred-vs-gt PSNR): the ~470 steps trained above
+    # must reach a golden floor on the held-out views — catches silent
+    # rendering-math regressions that pure rays/s cannot
+    psnr = tr.evaluate()["psnr"]
+
     result = {
         "metric": "train_rays_per_sec",
         "value": round(rays_per_sec, 1),
@@ -65,8 +72,10 @@ def main():
             "points_per_sec": round(points_per_sec, 1),
             "iters": iters,
             "wall_time_s": round(dt, 2),
-            "num_rays": cfg.train.num_rays,
+            "num_rays": tr.num_rays,
             "samples_per_ray": cfg.render.samples_per_ray,
+            "psnr_at_472_steps": round(float(psnr), 3),
+            "psnr_floor": 24.0,
             "backend": jax.default_backend(),
         },
     }

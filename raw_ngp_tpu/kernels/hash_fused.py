@@ -352,52 +352,55 @@ def _unpack_bf16_pairs(packed, n):
 
 def _segment_sum_sorted_scatter(keys_sorted, val_channels, n_rows: int):
     """Exact segment sums of the sorted per-channel 1-D value arrays
-    grouped by ``keys_sorted`` (ascending): segment_total(k) =
-    inclusive_csum[end(k)] - exclusive_csum[start(k)], realized as one
-    sorted-unique scatter-SET per channel (the only scatter form XLA:TPU
-    executes fast; scatter-add is orders of magnitude slower regardless
-    of flags, and associative_scan at 33M elements blows up the TPU
-    compiler).
+    grouped by ``keys_sorted`` (ascending), placed per row.
 
-    Everything stays in 1-D [M] arrays: 2-D [M, C] layouts with tiny minor
-    dims waste 124/128 vector lanes on TPU and multiply the cumsum cost.
+    The fast XLA:TPU scatter is the monotone sorted-unique SCALAR
+    scatter-SET, and one pass over the record stream costs ~6 ns/index —
+    with 2C channels the naive one-scatter-per-channel scheme dominated
+    the whole training step. Two measured tricks halve and halve again:
 
-    val_channels: list of arrays [M]. Returns [n_rows, len(val_channels)].
+      1. a segmented Hillis-Steele shift-mask scan (log2(M) masked
+         shifted adds on 1-D f32 arrays, ~30 ms total) leaves every
+         segment's TOTAL on its end record — totals are segment-LOCAL
+         values, so unlike cumsum differences they survive low-precision
+         storage without cancellation;
+      2. totals are packed two-bf16-per-u32 (pure bit arithmetic) so
+         2C channels ride ONLY C scatter passes. The reference rounds
+         every atomic add to fp16 (gridencoder.cu:334-347); rounding the
+         f32-accumulated total once to bf16 is comparable noise.
+
+    Destinations stay monotone: every non-end record dumps into slot 2k
+    (harmlessly overwritten), the end writes slot 2k+1.
+
+    val_channels: list of arrays [M]. Returns [n_rows, len(val_channels)]
+    float32.
     """
+    M = keys_sorted.shape[0]
+    nc = len(val_channels)
+    vs = [v.astype(jnp.float32) for v in val_channels]
+    s = 1
+    while s < M:
+        same = keys_sorted[s:] == keys_sorted[:-s]
+        vs = [jnp.concatenate([v[:s], v[s:] + jnp.where(same, v[:-s], 0.0)])
+              for v in vs]
+        s <<= 1
+
     boundary = keys_sorted[1:] != keys_sorted[:-1]
     is_end = jnp.concatenate([boundary, jnp.ones((1,), jnp.bool_)])
-    is_start = jnp.concatenate([jnp.ones((1,), jnp.bool_), boundary])
-
-    # Strided destinations keep the scatter's index stream MONOTONE (the
-    # prerequisite for XLA's fast sorted-unique scatter path):
-    #   segment start  -> 3k     (exclusive csum)
-    #   middle element -> 3k + 1 (discarded slot; duplicate writes land
-    #                             here, value irrelevant)
-    #   segment end    -> 3k + 2 (inclusive csum)
-    # Singletons take the end branch and write their own value, with the
-    # untouched start slot contributing 0.
-    dest = jnp.where(
-        is_end, 3 * keys_sorted + 2,
-        jnp.where(is_start, 3 * keys_sorted, 3 * keys_sorted + 1))
+    dest = jnp.where(is_end, 2 * keys_sorted + 1, 2 * keys_sorted)
     dnums = jax.lax.ScatterDimensionNumbers(
         update_window_dims=(), inserted_window_dims=(0,),
         scatter_dims_to_operand_dims=(0,))
 
     out = []
-    for v in val_channels:
-        v = v.astype(jnp.float32)
-        inc = jnp.cumsum(v)
-        exc = inc - v
-        vals_c = jnp.where(is_end,
-                           jnp.where(is_start, v, inc),
-                           exc)
-        z = jnp.zeros((3 * n_rows,), jnp.float32)
-        s = jax.lax.scatter(z, dest[:, None], vals_c, dnums,
-                            indices_are_sorted=True,
-                            unique_indices=True)
-        tri = s.reshape(n_rows, 3)
-        out.append(tri[:, 2] - tri[:, 0])
-    return jnp.stack(out, axis=-1)
+    for pk in _pack_bf16_pairs(vs):
+        z = jnp.zeros((2 * n_rows,), jnp.uint32)
+        sc = jax.lax.scatter(z, dest[:, None], pk, dnums,
+                             indices_are_sorted=True,
+                             unique_indices=True)
+        ends = sc.reshape(n_rows, 2)[:, 1]
+        out.extend(_unpack_bf16_pairs([ends], 2))
+    return jnp.stack(out[:nc], axis=-1)
 
 
 def _window_bwd_table(spec, res, g):

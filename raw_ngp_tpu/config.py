@@ -91,6 +91,13 @@ class RenderConfig:
     # reference's exact compaction + adaptive_num_rays point budget,
     # train_utils.py:563-564). 0 disables.
     compact_ratio: float = 0.5
+    # explicit compacted point budget (static shape). None = derived from
+    # num_rays * samples_per_ray * compact_ratio. The Trainer's adaptive
+    # machinery re-specializes the train step with a SMALLER budget when
+    # the occupancy grid leaves the default one mostly dummy slots — the
+    # static-shape counterpart of the reference's exact CSR compaction
+    # (raymarching.cu:486-490 allocates exactly-counted buffers per step)
+    point_budget: Optional[int] = None
     num_steps: Tuple[int, ...] = (256, 96, 48)  # proposal mode, main.py:44
     dt_gamma: float = 0.0             # main.py:52
     background: str = "black"         # main.py:46: white|random|last_sample|black

@@ -315,9 +315,13 @@ def render_occupancy(
         # is anchored to the BASE cfg.train.num_rays so that adaptive ray
         # growth (Trainer._maybe_grow_num_rays) raises throughput at a
         # CONSTANT field-evaluation cost per step; smaller eval chunks
-        # keep their proportional budget.
-        m_pad = max(int(min(N, cfg.train.num_rays) * K * ratio)
-                    // 128 * 128, 128)
+        # keep their proportional budget; cfg.render.point_budget (set by
+        # the Trainer's budget-shrink adaptation) overrides outright.
+        if cfg.render.point_budget is not None and training:
+            m_pad = max(cfg.render.point_budget // 128 * 128, 128)
+        else:
+            m_pad = max(int(min(N, cfg.train.num_rays) * K * ratio)
+                        // 128 * 128, 128)
         # over-budget steps decimate samples UNIFORMLY along each ray and
         # scale dt by the stride (coarser but consistent transmittance —
         # the reference instead shrinks next step's ray count); tail

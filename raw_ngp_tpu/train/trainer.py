@@ -366,6 +366,20 @@ class Trainer:
         os.makedirs(self.workspace, exist_ok=True)
         os.makedirs(os.path.join(self.workspace, "checkpoints"),
                     exist_ok=True)
+        # persistent compilation cache (opt-in via RAW_NGP_COMPILE_CACHE
+        #=<dir>): the first TPU compile of the full step costs minutes;
+        # across runs (bench warmups, restarts) the cache cuts it to a
+        # disk read. Opt-in because cache serialization can stall some
+        # backends' compile threads (observed hanging the CPU test suite).
+        cache_dir = os.environ.get("RAW_NGP_COMPILE_CACHE")
+        if cache_dir:
+            try:
+                os.makedirs(cache_dir, exist_ok=True)
+                jax.config.update("jax_compilation_cache_dir", cache_dir)
+                jax.config.update(
+                    "jax_persistent_cache_min_compile_time_secs", 5.0)
+            except Exception:
+                pass
 
         self.train_scene = train_scene
         self.val_scene = val_scene
@@ -450,9 +464,10 @@ class Trainer:
         # train_utils.py:1008-1017), populated per eval by
         # estimate_exposure_levels
         self.exposure_levels: Dict[float, float] = {}
-        # adaptive ray batching state (_maybe_grow_num_rays)
+        # adaptive batching state (_adapt_batch)
         self._pts_ema = None
-        self._step_cache = {self.num_rays: self._train_step}
+        self._point_budget = None      # None = base (config-derived)
+        self._step_cache = {(self.num_rays, None): self._train_step}
         # observability (train_utils.py:428-432 console+file, :919-937
         # tensorboard; rays/points counters per SURVEY §5.1)
         from raw_ngp_tpu.utils.logging import RunLogger, ThroughputMeter
@@ -485,34 +500,62 @@ class Trainer:
         return arrays
 
     # ------------------------------------------------------------------
-    def _maybe_grow_num_rays(self, metrics):
-        """TPU adaptive ray batching (train_utils.py:563-564 semantics):
-        once the occupancy grid prunes enough that the live-sample count
-        uses under half the compacted point budget, double the ray batch
-        (sticky, powers of two, capped). Each size compiles once; the
-        point budget is anchored to the base num_rays
-        (render/occupancy.py), so the per-step field-evaluation cost is
-        constant while rays/s scales with the pruning ratio."""
+    def _adapt_batch(self, metrics):
+        """TPU adaptive batching (train_utils.py:563-564 semantics). The
+        reference re-sizes every batch so num_rays * samples/ray lands on
+        the 2^18-point budget with exactly-counted CSR buffers
+        (raymarching.cu:486-490); static XLA shapes get the same effect
+        from two re-specializations, each compiled once per size:
+
+        * GROW num_rays by powers of two (capped) while the live-sample
+          count uses under half the base point budget — more rays/step at
+          constant field-evaluation cost;
+        * SHRINK the compacted point budget toward the measured live
+          count (1.3x headroom, power-of-two fractions of the base, with
+          hysteresis) — once the occupancy grid prunes, the encode/MLP
+          batch stops carrying dummy slots. Demand spikes re-grow it; the
+          stride decimation inside render_occupancy stays the safety net
+          in between.
+        """
         cfg = self.cfg
-        cap = cfg.train.max_num_rays or 4 * cfg.train.num_rays
-        if self.num_rays * 2 > cap:
-            return
         pts = float(jax.device_get(metrics["num_points"]))
         self._pts_ema = (pts if self._pts_ema is None
                          else 0.7 * self._pts_ema + 0.3 * pts)
-        budget = max(int(cfg.train.num_rays * cfg.render.samples_per_ray
-                         * cfg.render.compact_ratio) // 128 * 128, 128)
-        if self._pts_ema * 2.0 <= 0.9 * budget:
-            self.num_rays *= 2
+        base_budget = max(
+            int(cfg.train.num_rays * cfg.render.samples_per_ray
+                * cfg.render.compact_ratio) // 128 * 128, 128)
+
+        cap = cfg.train.max_num_rays or 4 * cfg.train.num_rays
+        num_rays = self.num_rays
+        if (num_rays * 2 <= cap
+                and self._pts_ema * 2.0 <= 0.9 * base_budget):
+            num_rays *= 2
             self._pts_ema *= 2.0     # same scene, twice the rays
-            if self.num_rays not in self._step_cache:
-                self._step_cache[self.num_rays] = make_train_step(
-                    cfg, self.spec, self.net_tx, self.pose_tx,
-                    self.num_rays)
-            self._train_step = self._step_cache[self.num_rays]
-            self.logger.log(f"[train] adaptive num_rays -> "
-                            f"{self.num_rays} (live pts/step "
-                            f"{self._pts_ema:.0f} vs budget {budget})")
+
+        # smallest power-of-two fraction of the base budget (>= 1/8) that
+        # still holds 1.3x the measured live count
+        budget = base_budget
+        while (budget // 2 >= base_budget // 8
+               and 1.3 * self._pts_ema <= budget // 2):
+            budget //= 2
+        # hysteresis: re-grow promptly when demand saturates the buffer
+        if 1.1 * self._pts_ema > budget:
+            budget = min(budget * 2, base_budget)
+
+        budget_key = None if budget == base_budget else budget
+        key = (num_rays, budget_key)
+        if key == (self.num_rays, self._point_budget):
+            return
+        self.num_rays, self._point_budget = key
+        if key not in self._step_cache:
+            cfg2 = cfg if budget_key is None else replace(
+                cfg, render=replace(cfg.render, point_budget=budget))
+            self._step_cache[key] = make_train_step(
+                cfg2, self.spec, self.net_tx, self.pose_tx, num_rays)
+        self._train_step = self._step_cache[key]
+        self.logger.log(
+            f"[train] adaptive batch -> num_rays {num_rays}, point "
+            f"budget {budget} (live pts/step ~{self._pts_ema:.0f})")
 
     def train(self, iters: Optional[int] = None, log_every: int = 100):
         iters = iters or self.cfg.train.iters
@@ -536,7 +579,7 @@ class Trainer:
                 # full-sweep phase (grid still dense before that)
                 if (adaptive and self.host_grid_updates > 16
                         and metrics is not None):
-                    self._maybe_grow_num_rays(metrics)
+                    self._adapt_batch(metrics)
             self.state, metrics = self._train_step(
                 self.state, self.scene_arrays, self.aabb)
             self.host_step += 1

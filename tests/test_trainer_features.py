@@ -140,5 +140,11 @@ def test_adaptive_num_rays_grows(tmp_path):
     tr.train(iters=8, log_every=8)
     assert tr.num_rays == 512, tr.num_rays     # grew 128 -> 256 -> 512
     assert np.isfinite(tr.stats["loss"][-1])
-    # budget stayed anchored: a second step function exists per size
-    assert set(tr._step_cache) == {128, 256, 512}
+    # a step function exists per (num_rays, point_budget) specialization,
+    # and the empty grid also shrank the compacted point budget (the CSR
+    # exact-sizing analogue) to the 1/8-of-base floor
+    sizes = {k[0] for k in tr._step_cache}
+    assert sizes == {128, 256, 512}, tr._step_cache
+    base_budget = max(int(128 * cfg.render.samples_per_ray
+                          * cfg.render.compact_ratio) // 128 * 128, 128)
+    assert tr._point_budget is None or tr._point_budget < base_budget

@@ -9,7 +9,10 @@ observation about the table index (gridencoder.cu:46-79):
     at adjacent rows {u, u+1};
   * hashed levels with the "additive" TPU hash variant
     (ops/hashgrid.HashGridSpec.hash_variant) index as
-    ``row = x + (mix(y,z) % (hmap - res))`` — adjacent by construction;
+    ``row = c[a] + (mix(others) % (hmap - res))`` with a per-level pair
+    axis a (ops/hashgrid.pair_axis) — adjacent by construction, and the
+    axis rotation decorrelates the line-structured collisions a fixed
+    axis would produce;
   * hashed levels with the reference "xor" hash only pair for even x0
     (prime_0 == 1 so even^1 == even+1), so they fall back to one window
     PER CORNER with the second row's weight pinned to zero — a [2, C]
@@ -51,7 +54,9 @@ import numpy as np
 from raw_ngp_tpu.ops.hashgrid import (
     HashGridSpec,
     _PRIMES,
+    _mix_prime,
     _smoothstep,
+    pair_axis,
 )
 
 
@@ -103,10 +108,13 @@ def _level_indices_1d(spec: HashGridSpec, level: int, coords):
 
     if spec.gridtype == "hash" and overflow:
         if spec.hash_variant == "additive" and hmap > res:
+            a = pair_axis(spec, level)
             g = jnp.zeros_like(cu[0])
-            for d in range(1, D):
-                g = g ^ (cu[d] * jnp.uint32(_PRIMES[d]))
-            index = cu[0] + g % jnp.uint32(hmap - res)
+            for d in range(D):
+                if d == a:
+                    continue
+                g = g ^ (cu[d] * jnp.uint32(_mix_prime(d)))
+            index = cu[a] + g % jnp.uint32(hmap - res)
         else:
             h = jnp.zeros_like(cu[0])
             for d in range(D):
@@ -162,19 +170,24 @@ def _window_indices_weights(x01, spec: HashGridSpec):
             fr.append(f)
             gr.append(g0.astype(jnp.int32))
         pairable = _level_pairable(spec, lv)
-        x_lo = gr[0]
-        x_hi = jnp.minimum(x_lo + 1, res - 1)
+        a = pair_axis(spec, lv)          # table-adjacent corner axis
+        rest_dims = [d for d in range(D) if d != a]
+        a_lo = gr[a]
+        a_hi = jnp.minimum(a_lo + 1, res - 1)
         for h in range(n_half):
-            rest = []
+            coords_lo = [None] * D
+            coords_hi = [None] * D
+            coords_lo[a], coords_hi[a] = a_lo, a_hi
             w_rest = inb_f
-            for d in range(1, D):
-                bit = (h >> (d - 1)) & 1
-                rest.append(jnp.minimum(gr[d] + bit, res - 1))
+            for j, d in enumerate(rest_dims):
+                bit = (h >> j) & 1
+                c = jnp.minimum(gr[d] + bit, res - 1)
+                coords_lo[d] = coords_hi[d] = c
                 w_rest = w_rest * (fr[d] if bit else (1.0 - fr[d]))
-            u = _level_indices_1d(spec, lv, [x_lo] + rest).astype(jnp.int32)
-            v = _level_indices_1d(spec, lv, [x_hi] + rest).astype(jnp.int32)
-            w_u = (1.0 - fr[0]) * w_rest
-            w_v = fr[0] * w_rest
+            u = _level_indices_1d(spec, lv, coords_lo).astype(jnp.int32)
+            v = _level_indices_1d(spec, lv, coords_hi).astype(jnp.int32)
+            w_u = (1.0 - fr[a]) * w_rest
+            w_v = fr[a] * w_rest
             if pairable:
                 b = jnp.minimum(jnp.minimum(u, v), top)
                 # route each corner weight to its window position (0 or 1)

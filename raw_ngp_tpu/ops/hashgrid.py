@@ -125,6 +125,28 @@ def init_hashgrid_params(key, spec: HashGridSpec,
         minval=-1e-4, maxval=1e-4)
 
 
+def pair_axis(spec: HashGridSpec, level: int) -> int:
+    """Axis along which the two interpolation corners of the additive
+    hash variant are table-adjacent at this level. Dense (non-overflow)
+    levels pair along axis 0 (their stride-1 axis); hashed additive
+    levels rotate per level to decorrelate collisions (see
+    _level_indices). For the xor variant this is always axis 0 (its
+    even-coordinate pairing comes from prime_0 == 1)."""
+    res = spec.resolutions[level]
+    hmap = spec.offsets[level + 1] - spec.offsets[level]
+    dense = res ** spec.input_dim <= hmap
+    if dense or spec.hash_variant != "additive":
+        return 0
+    return level % spec.input_dim
+
+
+def _mix_prime(d: int) -> int:
+    """Prime for dimension d inside the additive variant's mix hash.
+    _PRIMES[0] == 1 would leave dim 0 unmixed when another axis is the
+    pair axis, so dim 0 borrows a large prime."""
+    return _PRIMES[d] if d > 0 else _PRIMES[3]
+
+
 def _level_indices(spec: HashGridSpec, level: int, corner_coords):
     """Flat table index for integer corner coords [..., D] at one level.
 
@@ -147,14 +169,23 @@ def _level_indices(spec: HashGridSpec, level: int, corner_coords):
 
     if spec.gridtype == "hash" and overflow:
         if spec.hash_variant == "additive" and hmap > res:
-            # TPU pair-aligned hash: row = x + (mix(y..) % (hmap - res)).
-            # x <= res-1 and mix < hmap - res, so row <= hmap - 2 with NO
-            # wraparound — the rows of x and x+1 are always adjacent and
-            # both stay inside this level's table.
+            # TPU pair-aligned hash: row = c[a] + (mix(others) % (hmap -
+            # res)) with pair axis a = level % D. c[a] <= res-1 and
+            # mix < hmap - res, so row <= hmap - 2 with NO wraparound —
+            # the rows of c[a] and c[a]+1 are always adjacent and both
+            # stay inside this level's table. Rotating ``a`` per level
+            # decorrelates the collision structure: with a fixed axis,
+            # whole cell LINES map to contiguous row ranges and collide
+            # line-with-line, which shows up as structured ghosting on
+            # held-out views; rotation leaves at most ceil(L/D) levels
+            # aliasing along any given direction.
+            a = pair_axis(spec, level)
             g = jnp.zeros(coords.shape[:-1], dtype=jnp.uint32)
-            for d in range(1, D):
-                g = g ^ (coords[..., d] * jnp.uint32(_PRIMES[d]))
-            index = coords[..., 0] + g % jnp.uint32(hmap - res)
+            for d in range(D):
+                if d == a:
+                    continue
+                g = g ^ (coords[..., d] * jnp.uint32(_mix_prime(d)))
+            index = coords[..., a] + g % jnp.uint32(hmap - res)
         else:
             h = jnp.zeros(coords.shape[:-1], dtype=jnp.uint32)
             for d in range(D):

@@ -28,15 +28,19 @@ def _spec(variant):
                                desired_resolution=64, hash_variant=variant)
 
 
-def test_additive_x_corners_adjacent():
-    """row(x+1) == row(x) + 1 for every vertex of every level."""
+def test_additive_pair_axis_corners_adjacent():
+    """row(c[a]+1) == row(c[a]) + 1 for every vertex of every level,
+    where a is the level's (rotating) pair axis."""
+    from raw_ngp_tpu.ops.hashgrid import pair_axis
+
     spec = _spec("additive")
     key = jax.random.PRNGKey(0)
     for lv in range(spec.num_levels):
         res = spec.resolutions[lv]
+        a = pair_axis(spec, lv)
         coords = jax.random.randint(key, (512, 3), 0, res - 1)
         r0 = _level_indices(spec, lv, coords)
-        r1 = _level_indices(spec, lv, coords.at[:, 0].add(1))
+        r1 = _level_indices(spec, lv, coords.at[:, a].add(1))
         np.testing.assert_array_equal(np.asarray(r1), np.asarray(r0) + 1)
         # rows stay inside the level's table
         lo, hi = spec.offsets[lv], spec.offsets[lv + 1]

@@ -575,11 +575,19 @@ class Trainer:
                 self.state = self._grid_update(self.state,
                                                self.host_grid_updates)
                 self.host_grid_updates += 1
-                # one device fetch per refresh interval, after the first
-                # full-sweep phase (grid still dense before that)
-                if (adaptive and self.host_grid_updates > 16
-                        and metrics is not None):
-                    self._adapt_batch(metrics)
+                # adapt from the PREVIOUS interval's stashed metrics: that
+                # value finished long ago, so the device_get returns
+                # without draining the deeply-pipelined async dispatch
+                # queue (a synchronous fetch of the just-issued step cost
+                # ~100 ms/step of lost overlap on the remote backend).
+                # Only after the first full-sweep phase (grid dense
+                # before that); one-interval staleness is absorbed by the
+                # EMA.
+                if adaptive and self.host_grid_updates > 16:
+                    stash = getattr(self, "_adapt_stash", None)
+                    if stash is not None:
+                        self._adapt_batch(stash)
+                    self._adapt_stash = metrics
             self.state, metrics = self._train_step(
                 self.state, self.scene_arrays, self.aabb)
             self.host_step += 1

@@ -12,6 +12,7 @@ torch-ngp-style trainers sustain ~2.5e5 rays/s on A100 at the default
 """
 
 import json
+import os
 import sys
 import time
 from dataclasses import replace
@@ -22,6 +23,11 @@ BASELINE_RAYS_PER_SEC = 5.0e5
 
 
 def main():
+    # persistent compilation cache: the bench pays ~400 s of warmup
+    # compiles otherwise; the cache survives in /tmp across driver runs
+    # on this machine (opt-out by pre-setting RAW_NGP_COMPILE_CACHE="").
+    os.environ.setdefault("RAW_NGP_COMPILE_CACHE", "/tmp/raw_ngp_jax_cache")
+
     import jax
 
     from raw_ngp_tpu.config import Config

@@ -74,6 +74,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--density_thresh", type=float, default=10.0)
     p.add_argument("--hashgrid_resolution", type=int, default=2048)
     p.add_argument("--hashmap_size", type=int, default=19)
+    # model-size overrides (0 = keep the preset/default value); applied
+    # AFTER preset composition so e.g. `-O --num_levels 4` shrinks the
+    # occupancy-mode model
+    p.add_argument("--num_levels", type=int, default=0)
+    p.add_argument("--level_dim", type=int, default=0)
+    p.add_argument("--grid_mlp_hidden", type=int, default=0)
+    p.add_argument("--view_mlp_hidden", type=int, default=0)
     p.add_argument("--samples_per_ray", type=int, default=64,
                    help="TPU static per-ray sample budget")
     p.add_argument("--march_candidates", type=int, default=512)
@@ -243,6 +250,12 @@ def args_to_config(args) :
         cfg = cfg.with_preset_O()
     elif args.O2:
         cfg = cfg.with_preset_O2()
+    size_over = {k: getattr(args, k) for k in
+                 ("num_levels", "level_dim", "grid_mlp_hidden",
+                  "view_mlp_hidden") if getattr(args, k)}
+    if size_over:
+        from dataclasses import replace as _rep
+        cfg = _rep(cfg, model=_rep(cfg.model, **size_over))
     if args.pose_opt != "none":
         n = args.num_cameras
         if n == -1:

@@ -86,6 +86,14 @@ class RenderConfig:
     samples_per_ray: int = 64
     # candidate marching resolution before compaction (multiple of K)
     march_candidates: int = 512
+    # two-level march: probes per ray against a 4^3 max-pooled + dilated
+    # coarse occupancy grid tighten [near, far] BEFORE fine candidate
+    # generation — the static-shape analogue of the reference's DDA
+    # empty-space skipping (raymarching.cu:446-460). The same
+    # march_candidates then concentrate inside the occupied span (finer
+    # effective sampling), or march_candidates can be halved at equal
+    # effective resolution. 0 disables. Requires grid_size % 4 == 0.
+    coarse_probes: int = 0
     # cross-ray sample compaction: evaluate the field only on a static
     # buffer of num_rays*K*compact_ratio points (the CSR equivalent of the
     # reference's exact compaction + adaptive_num_rays point budget,
@@ -322,6 +330,7 @@ class Config:
     def validate(self) -> "Config":
         r = self.render
         assert r.samples_per_ray > 0 and r.march_candidates >= r.samples_per_ray
+        assert r.coarse_probes == 0 or r.grid_size % 4 == 0
         assert self.model.gridtype in ("hash", "tiled")
         assert self.model.interpolation in ("linear", "smoothstep")
         assert self.model.color_activation in ("exp", "sigmoid", "clamped_exp")

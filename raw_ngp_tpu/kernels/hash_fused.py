@@ -51,6 +51,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from raw_ngp_tpu.kernels import segsum_pallas
 from raw_ngp_tpu.ops.hashgrid import (
     HashGridSpec,
     _PRIMES,
@@ -442,9 +443,14 @@ def _window_bwd_table(spec, res, g):
     packed = _pack_bf16_pairs(chans)
     sorted_ops = jax.lax.sort([keys] + packed, num_keys=1)
     keys_s = sorted_ops[0]
-    val_channels = _unpack_bf16_pairs(sorted_ops[1:], 2 * C)
-    totals = _segment_sum_sorted_scatter(keys_s, val_channels,
-                                         spec.n_params)     # [n, 2C]
+    if segsum_pallas.use_pallas_segsum():
+        # streaming Pallas placement: exact f32 totals, no XLA scatter
+        totals = segsum_pallas.segment_totals_pallas(
+            keys_s, sorted_ops[1:], spec.n_params, 2 * C)
+    else:
+        val_channels = _unpack_bf16_pairs(sorted_ops[1:], 2 * C)
+        totals = _segment_sum_sorted_scatter(keys_s, val_channels,
+                                             spec.n_params)  # [n, 2C]
     g0, g1 = totals[:, :C], totals[:, C:]
     # v1 recorded at base b belongs to row b+1
     grad = g0 + jnp.concatenate([jnp.zeros_like(g1[:1]), g1[:-1]], axis=0)

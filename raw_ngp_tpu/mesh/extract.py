@@ -12,8 +12,8 @@ Equivalent of the reference's export_mesh pipeline (nerf/renderer.py:
     of meshutils.clean_mesh:146-188's isolated-piece removal;
   * decimation = uniform vertex clustering to a target triangle budget
     (meshutils.decimate_mesh:27-60 analogue);
-  * visibility culling = point-splat z-buffer over the training cameras
-    (approximates the reference's nvdiffrast rasterization,
+  * visibility culling = triangle rasterization into a per-camera z-buffer
+    (_rasterize_faces; the analogue of the reference's nvdiffrast pass,
     renderer.py:678-713);
   * PLY export written directly (trimesh-free).
 """

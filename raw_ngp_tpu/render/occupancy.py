@@ -86,12 +86,126 @@ def occupancy_lookup(bitfield, pos, dt, bound: float, contract: bool,
                  0.0, grid_size - 1).astype(jnp.int32)
     index = (level.astype(jnp.uint32) * jnp.uint32(grid_size ** 3)
              + morton3d(n))
-    byte = bitfield[(index >> jnp.uint32(3)).astype(jnp.int32)]
-    bit = (byte >> (index & jnp.uint32(7)).astype(jnp.uint8)) & jnp.uint8(1)
+    # u32 word gathers test ~18% faster than u8 byte gathers on TPU
+    # (tools/march_variants.py); little-endian view keeps bit order:
+    # bit (i & 31) of word i>>5 == bit (i & 7) of byte i>>3
+    bf32 = jax.lax.bitcast_convert_type(
+        bitfield.reshape(-1, 4), jnp.uint32).reshape(-1)
+    word = bf32[(index >> jnp.uint32(5)).astype(jnp.int32)]
+    bit = (word >> (index & jnp.uint32(31))) & jnp.uint32(1)
     occ = bit.astype(jnp.bool_)
     if contract:
         occ = occ | (mag[..., 0] > 1.0)
     return occ, cpos
+
+
+@functools.lru_cache(maxsize=8)
+def _morton_of_linear(hc: int):
+    """Static [Hc^3] permutation: Morton code of each x-major linear cell
+    (host-side numpy; ~128 KB constant at Hc=32 — small enough for the
+    remote-compile constant limit)."""
+    x, y, z = np.meshgrid(np.arange(hc), np.arange(hc), np.arange(hc),
+                          indexing="ij")
+
+    def spread(v):
+        v = v.astype(np.uint32)
+        v = (v | (v << 16)) & np.uint32(0x030000FF)
+        v = (v | (v << 8)) & np.uint32(0x0300F00F)
+        v = (v | (v << 4)) & np.uint32(0x030C30C3)
+        v = (v | (v << 2)) & np.uint32(0x09249249)
+        return v
+
+    code = spread(x) | (spread(y) << 1) | (spread(z) << 2)
+    return code.reshape(-1).astype(np.int32)
+
+
+def coarse_occupancy(bitfield, grid_size: int, cascades: int,
+                     dilate_radius: int):
+    """4^3 max-pool + dilate the Morton bitfield into a LINEAR-order
+    coarse occupancy volume [CAS * Hc^3] int32 (Hc = H/4).
+
+    Pooling rides the Morton layout: coarse cell c covers exactly the 64
+    consecutive fine codes [64c, 64c+64) == u32 words 2c and 2c+1, so the
+    pool is one pairwise OR. Dilation (separable running max over a
+    (2r+1)^3 neighborhood) makes probe tests conservative: any fine
+    sample within r coarse cells of a probe point stays detectable.
+    """
+    hc = grid_size // 4
+    words = jax.lax.bitcast_convert_type(
+        bitfield.reshape(-1, 4), jnp.uint32).reshape(cascades, hc ** 3, 2)
+    occ_m = (words[..., 0] | words[..., 1]) > 0          # Morton order
+    occ_lin = occ_m[:, jnp.asarray(_morton_of_linear(hc))]
+    vol = occ_lin.reshape(cascades, hc, hc, hc).astype(jnp.float32)
+    k = 2 * dilate_radius + 1
+    vol = jax.lax.reduce_window(
+        vol, -jnp.inf, jax.lax.max, (1, k, k, k), (1, 1, 1, 1), "SAME")
+    return (vol > 0).reshape(-1).astype(jnp.int32)
+
+
+def _coarse_dilate_radius(bound: float, grid_size: int,
+                          n_probes: int) -> int:
+    """Worst-case probe half-spacing over the cascade-0 coarse cell size
+    (higher cascades have larger cells, so cascade 0 bounds them all)."""
+    hc = grid_size // 4
+    max_span = 2.0 * np.sqrt(3.0) * bound
+    cell0 = 2.0 * min(1.0, bound) / hc
+    return max(1, int(np.ceil(max_span / n_probes / (2.0 * cell0))))
+
+
+def coarse_spans(rays_o, rays_d, coarse_lin, nears, fars, bound: float,
+                 contract: bool, grid_size: int, cascades: int,
+                 n_probes: int):
+    """Tightened per-ray [near, far] from coarse occupancy probes.
+
+    The static-shape analogue of the reference's DDA empty-space skipping
+    (raymarching.cu:446-460): instead of skipping cells mid-march, probe
+    a dilated coarse grid first and shrink the span the fine candidates
+    cover. Probes OR across every cascade >= mip_from_pos, so whatever
+    mip the fine march later selects (>= mip_from_pos always) is covered.
+    Rays with no coarse hit collapse to an empty span at `far` (the fine
+    march's `t < far` guard then drops every candidate).
+    """
+    hc = grid_size // 4
+    N = rays_o.shape[0]
+    spacing = (fars - nears) / n_probes                     # [N, 1]
+    steps = jnp.arange(n_probes, dtype=jnp.float32)[None, :] + 0.5
+    t = nears + spacing * steps                             # [N, P]
+    pos = rays_o[:, None, :] + rays_d[:, None, :] * t[..., None]
+    pos = jnp.clip(pos, -bound, bound)
+    mag = jnp.max(jnp.abs(pos), axis=-1)                    # [N, P]
+
+    cpos = pos
+    if contract:
+        safe = jnp.maximum(mag[..., None], 1e-12)
+        scale = (2.0 - 1.0 / safe) / safe
+        cpos = jnp.where(mag[..., None] > 1.0, pos * scale, pos)
+
+    lp = jnp.floor(jnp.log2(jnp.maximum(mag, 1e-12))) + 1.0
+    mip_pos = jnp.clip(lp, 0.0, cascades - 1).astype(jnp.int32)
+
+    occ = jnp.zeros(t.shape, jnp.bool_)
+    for lvl in range(cascades):
+        mb = min(2.0 ** lvl, bound)
+        n = jnp.clip(0.5 * (cpos / mb + 1.0) * hc,
+                     0.0, hc - 1).astype(jnp.int32)
+        idx = (lvl * hc ** 3
+               + (n[..., 0] * hc + n[..., 1]) * hc + n[..., 2])
+        # flattened 1-D gather: [N, P<128] operands are tile-padded and
+        # fall off the fast gather path (CLAUDE.md layout rule)
+        hit = coarse_lin[idx.reshape(-1)].reshape(idx.shape)
+        occ = occ | ((hit > 0) & (lvl >= mip_pos))
+    if contract:
+        occ = occ | (mag > 1.0)
+    occ = occ & (t < fars)
+
+    tin = jnp.min(jnp.where(occ, t, jnp.inf), axis=1, keepdims=True)
+    tout = jnp.max(jnp.where(occ, t, -jnp.inf), axis=1, keepdims=True)
+    near2 = jnp.maximum(nears, tin - spacing)
+    far2 = jnp.minimum(fars, tout + spacing)
+    empty = tin > tout
+    near2 = jnp.where(empty, fars, near2)
+    far2 = jnp.where(empty, fars, far2)
+    return near2, far2
 
 
 def march_rays(
@@ -106,11 +220,20 @@ def march_rays(
     samples_per_ray: int,       # K
     key=None,                   # jitter (perturb)
     dt_gamma: float = 0.0,
+    coarse_probes: int = 0,
 ):
     """Candidate -> mask -> compact marching. Returns dict with
     ts [N, K], deltas [N, K], mask [N, K] (valid samples)."""
     N = rays_o.shape[0]
     S, K = num_candidates, samples_per_ray
+
+    if coarse_probes > 0:
+        coarse_lin = coarse_occupancy(
+            bitfield, grid_size, cascades,
+            _coarse_dilate_radius(bound, grid_size, coarse_probes))
+        nears, fars = coarse_spans(
+            rays_o, rays_d, coarse_lin, nears, fars, bound, contract,
+            grid_size, cascades, coarse_probes)
 
     span = (fars - nears)                                   # [N, 1]
     steps = jnp.arange(S, dtype=jnp.float32)[None, :]       # [1, S]
@@ -149,10 +272,12 @@ def march_rays(
     slot = jnp.where(keep, slot, K)                         # K = dump slot
 
     rows = jnp.broadcast_to(jnp.arange(N)[:, None], (N, S))
-    ts = jnp.zeros((N, K + 1), jnp.float32).at[rows, slot].set(
-        t_cand, mode="drop")[:, :K]
-    mask = jnp.zeros((N, K + 1), jnp.bool_).at[rows, slot].set(
-        keep, mode="drop")[:, :K]
+    # ONE sentinel-init scatter; mask derived (t >= near > 0 for every
+    # real sample) — halves the compaction scatter cost
+    # (tools/march_variants.py: 48.6 -> 22.6 ms at [8192, 512])
+    ts = jnp.full((N, K + 1), -1.0, jnp.float32).at[rows, slot].set(
+        jnp.where(keep, t_cand, -1.0), mode="drop")[:, :K]
+    mask = ts >= 0.0
 
     if dt_gamma > 0.0:
         deltas = jnp.zeros((N, K + 1), jnp.float32).at[rows, slot].set(
@@ -288,7 +413,8 @@ def render_occupancy(
     m = march_rays(rays_o, rays_d, bitfield, nears, fars,
                    cfg.render.bound, cfg.render.contract,
                    cfg.render.grid_size, cfg.cascades, S, K, key=key,
-                   dt_gamma=cfg.render.dt_gamma)
+                   dt_gamma=cfg.render.dt_gamma,
+                   coarse_probes=cfg.render.coarse_probes)
     ts, deltas, mask = m["ts"], m["deltas"], m["mask"]
     mask = mask & ~miss
 

@@ -548,10 +548,24 @@ class Trainer:
             return
         self.num_rays, self._point_budget = key
         if key not in self._step_cache:
-            cfg2 = cfg if budget_key is None else replace(
-                cfg, render=replace(cfg.render, point_budget=budget))
-            self._step_cache[key] = make_train_step(
-                cfg2, self.spec, self.net_tx, self.pose_tx, num_rays)
+            if self.mesh is not None:
+                # mesh-aware respecialization (ref has no modal
+                # restriction either, train_utils.py:563-564): the global
+                # budget divides across devices — render_occupancy reads
+                # point_budget PER SHARD inside shard_map
+                from raw_ngp_tpu.parallel import make_parallel_train_step
+                per_dev = (None if budget_key is None else
+                           max(budget // self.n_devices // 128 * 128, 128))
+                cfg2 = cfg if per_dev is None else replace(
+                    cfg, render=replace(cfg.render, point_budget=per_dev))
+                self._step_cache[key] = make_parallel_train_step(
+                    cfg2, self.spec, self.net_tx, self.pose_tx, num_rays,
+                    self.mesh, cfg.parallel.mesh_axis)
+            else:
+                cfg2 = cfg if budget_key is None else replace(
+                    cfg, render=replace(cfg.render, point_budget=budget))
+                self._step_cache[key] = make_train_step(
+                    cfg2, self.spec, self.net_tx, self.pose_tx, num_rays)
         self._train_step = self._step_cache[key]
         self.logger.log(
             f"[train] adaptive batch -> num_rays {num_rays}, point "
@@ -564,8 +578,7 @@ class Trainer:
         interval = self.cfg.render.update_extra_interval
         adaptive = (self.cfg.train.adaptive_num_rays
                     and self.cfg.render.occupancy
-                    and self.cfg.render.compact_ratio > 0
-                    and self.mesh is None)
+                    and self.cfg.render.compact_ratio > 0)
         metrics = None
         for i in range(iters):
             # host-side step counter: no device sync in the hot loop (the

@@ -1,0 +1,139 @@
+"""Two-level march (coarse span tightening, render/occupancy.py
+coarse_spans): the static-shape analogue of the reference's DDA
+empty-space skipping (raymarching.cu:446-460).
+
+Safety contract tested here: the tightened span is CONSERVATIVE — every
+sample the full-span fine march keeps lies inside the tightened
+[near2, far2]; rays through empty space collapse to a zero span; spans
+never exceed the original [near, far].
+"""
+
+from dataclasses import replace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raw_ngp_tpu.ops.grid import packbits
+from raw_ngp_tpu.ops.morton import morton3d
+from raw_ngp_tpu.render.occupancy import (
+    _coarse_dilate_radius,
+    coarse_occupancy,
+    coarse_spans,
+    march_rays,
+)
+
+
+def _random_bitfield(key, grid_size=32, cascades=2, p=0.02):
+    """Sparse random occupancy (Morton order, like packbits output)."""
+    dens = (jax.random.uniform(key, (cascades, grid_size ** 3))
+            < p).astype(jnp.float32) * 100.0
+    return packbits(dens, 1.0), dens
+
+
+def _rand_rays(key, n, bound):
+    ko, kd = jax.random.split(key)
+    o = jax.random.uniform(ko, (n, 3), minval=-0.9 * bound,
+                           maxval=0.9 * bound)
+    d = jax.random.normal(kd, (n, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    return o, d
+
+
+@pytest.mark.parametrize("bound,cascades", [(1.0, 1), (2.0, 2)])
+def test_coarse_span_is_conservative(bound, cascades):
+    gs, n_probes = 32, 64
+    key = jax.random.PRNGKey(0)
+    bitfield, _ = _random_bitfield(jax.random.fold_in(key, 1),
+                                   grid_size=gs, cascades=cascades)
+    N = 256
+    ro, rd = _rand_rays(jax.random.fold_in(key, 2), N, bound)
+    nears = jnp.full((N, 1), 0.05)
+    fars = jnp.full((N, 1), 2.0 * np.sqrt(3.0) * bound)
+
+    # full-span fine march (no coarse): the ground truth sample set
+    m_full = march_rays(ro, rd, bitfield, nears, fars, bound, False, gs,
+                        cascades, 512, 128)
+    ts = np.asarray(m_full["ts"])
+    mask = np.asarray(m_full["mask"])
+
+    r = _coarse_dilate_radius(bound, gs, n_probes)
+    coarse = coarse_occupancy(bitfield, gs, cascades, r)
+    near2, far2 = coarse_spans(ro, rd, coarse, nears, fars, bound, False,
+                               gs, cascades, n_probes)
+    near2, far2 = np.asarray(near2), np.asarray(far2)
+
+    # spans never widen
+    assert (near2 >= np.asarray(nears) - 1e-6).all()
+    assert (far2 <= np.asarray(fars) + 1e-6).all()
+    # every occupied fine sample lies inside the tightened span (allow the
+    # fine candidate half-spacing as numeric slop)
+    slop = float(fars[0, 0] - nears[0, 0]) / 512
+    kept_in = ((ts >= near2 - slop) & (ts <= far2 + slop)) | ~mask
+    assert kept_in.all(), (
+        f"{(~kept_in).sum()} occupied samples escaped the span")
+
+
+def test_empty_scene_collapses_spans():
+    gs, cascades, bound = 32, 1, 1.0
+    bitfield = packbits(jnp.zeros((cascades, gs ** 3), jnp.float32), 1.0)
+    N = 32
+    ro, rd = _rand_rays(jax.random.PRNGKey(3), N, bound)
+    nears = jnp.full((N, 1), 0.05)
+    fars = jnp.full((N, 1), 3.4)
+    coarse = coarse_occupancy(bitfield, gs, cascades, 1)
+    near2, far2 = coarse_spans(ro, rd, coarse, nears, fars, bound, False,
+                               gs, cascades, 64)
+    np.testing.assert_allclose(np.asarray(near2), np.asarray(fars))
+    np.testing.assert_allclose(np.asarray(far2), np.asarray(fars))
+    # fine march over the collapsed span keeps nothing
+    m = march_rays(ro, rd, bitfield, near2, far2, bound, False, gs,
+                   cascades, 128, 32, coarse_probes=0)
+    assert not bool(np.asarray(m["mask"]).any())
+
+
+def test_march_with_coarse_keeps_same_occupied_cells():
+    """March WITH the coarse pre-pass must still find occupied content:
+    on a single-slab scene every kept sample's cell is occupied, and rays
+    crossing the slab keep at least one sample (denser than without)."""
+    gs, bound = 32, 1.0
+    dens = np.zeros((1, gs ** 3), np.float32)
+    # slab x in [0, 0.25) -> cells x=16..19, all y, z
+    for x in range(16, 20):
+        for y in range(gs):
+            codes = np.asarray(morton3d(jnp.stack(
+                [jnp.full((gs,), x), jnp.full((gs,), y),
+                 jnp.arange(gs)], axis=-1).astype(jnp.int32)))
+            dens[0, codes] = 100.0
+    bitfield = packbits(jnp.asarray(dens), 1.0)
+
+    N = 64
+    ro = jnp.stack([jnp.full((N,), -0.9),
+                    jnp.linspace(-0.8, 0.8, N),
+                    jnp.linspace(0.8, -0.8, N)], axis=-1)
+    rd = jnp.tile(jnp.array([[1.0, 0.0, 0.0]]), (N, 1))
+    nears = jnp.full((N, 1), 0.05)
+    fars = jnp.full((N, 1), 2.5)
+
+    m = march_rays(ro, rd, bitfield, nears, fars, bound, False, gs, 1,
+                   128, 32, coarse_probes=64)
+    ts = np.asarray(m["ts"])
+    mask = np.asarray(m["mask"])
+    assert mask.any(axis=1).all()          # every ray crosses the slab
+    # kept samples hit the slab x-range (within one fine cell of slop)
+    xs = np.asarray(ro)[:, :1] + ts * 1.0  # rd = +x
+    cell = 2.0 / gs
+    assert ((xs[mask] >= 0.0 - cell) & (xs[mask] <= 0.25 + cell)).all()
+    # span tightening concentrates samples: at least as many slab hits as
+    # the full-span march at the same candidate count
+    m0 = march_rays(ro, rd, bitfield, nears, fars, bound, False, gs, 1,
+                    128, 32, coarse_probes=0)
+    assert (np.asarray(m["mask"]).sum()
+            >= np.asarray(m0["mask"]).sum())
+
+
+def test_dilate_radius_scales_with_bound():
+    assert _coarse_dilate_radius(1.0, 128, 64) == 1
+    assert _coarse_dilate_radius(2.0, 128, 64) == 1
+    assert _coarse_dilate_radius(2.0, 128, 16) >= 2

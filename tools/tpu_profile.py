@@ -189,7 +189,13 @@ def step():
     tr = Trainer(cfg, train_scene, val_scene, workspace="/tmp/prof_ws")
     tr.train(iters=40, log_every=10 ** 9)   # warmup: compiles + grid state
 
-    t_step = timeit(tr._train_step, tr.state, tr.scene_arrays, tr.aabb,
+    # _train_step donates its state argument — chain it rather than
+    # re-feeding the consumed buffers
+    def chained_step(_state, scene, aabb):
+        tr.state, metrics = tr._train_step(tr.state, scene, aabb)
+        return metrics
+
+    t_step = timeit(chained_step, tr.state, tr.scene_arrays, tr.aabb,
                     n=10, warmup=1)
     print(f"full train step:       {t_step*1e3:8.1f} ms")
 
@@ -272,8 +278,40 @@ def step():
           f"{t_gr*1e3/cfg.render.update_extra_interval:.1f} ms/step)")
 
 
+def loop():
+    """Bench-style dispatch loop vs chained-step time: isolates host/tunnel
+    per-dispatch overhead + grid-refresh amortization from pure step time."""
+    import jax
+    from dataclasses import replace
+
+    from raw_ngp_tpu.config import Config
+    from raw_ngp_tpu.data import make_synthetic_scene
+    from raw_ngp_tpu.train import Trainer
+
+    cfg = Config().with_preset_O().with_tpu_profile()
+    cfg = replace(cfg, train=replace(cfg.train, fp16=True, num_rays=8192))
+    cfg = cfg.validate()
+    train_scene, val_scene = make_synthetic_scene(n_train=36, n_val=2,
+                                                  H=128, W=128)
+    tr = Trainer(cfg, train_scene, val_scene, workspace="/tmp/prof_ws")
+    tr.train(iters=40, log_every=10 ** 9)   # warmup: compiles + grid state
+
+    def chained_step(_state, scene, aabb):
+        tr.state, metrics = tr._train_step(tr.state, scene, aabb)
+        return metrics
+
+    t_step = timeit(chained_step, tr.state, tr.scene_arrays, tr.aabb,
+                    n=10, warmup=1)
+    print(f"chained step:          {t_step*1e3:8.1f} ms")
+    for iters in (64, 128):
+        r = tr.train(iters=iters, log_every=10 ** 9)
+        ms = r["wall_time"] / iters * 1e3
+        print(f"train loop n={iters}:     {ms:8.1f} ms/step "
+              f"(overhead vs chained: {ms - t_step*1e3:+.1f})")
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("mode", choices=["micro", "step"])
+    ap.add_argument("mode", choices=["micro", "step", "loop"])
     a = ap.parse_args()
-    (micro if a.mode == "micro" else step)()
+    {"micro": micro, "step": step, "loop": loop}[a.mode]()

@@ -121,7 +121,17 @@ class TrainConfig:
 
     iters: int = 20000                # main.py:40
     lr: float = 1e-2                  # main.py:41
-    adam_eps: float = 1e-15           # main.py:245
+    # The reference uses Adam eps=1e-15 (main.py:245, the instant-ngp
+    # value chosen for fp16-scaled gradients). With our f32 gradients
+    # that eps makes every touched hash-table entry step ~±lr regardless
+    # of gradient size (second moments on sparsely-hit rows are ~1e-13),
+    # which goes edge-of-stability unstable once the fit is tight:
+    # measured loss 3e-4 -> 0.11 IRRECOVERABLE collapse at step ~636 of
+    # the flagship bench config, reproduced deterministically on TPU and
+    # CPU and independent of the backward implementation. eps=1e-8 at
+    # the same lr=1e-2 is stable and reaches LOWER loss (step-600-
+    # checkpoint A/B, 2026-08; see ROADMAP.md "Stability").
+    adam_eps: float = 1e-8
     anneal_lr: bool = False           # main.py:120 (cosine restarts)
     num_rays: int = 4096              # main.py:59
     # TPU reformulation of the reference's adaptive ray batching

@@ -45,19 +45,34 @@ def sample_ray_batch(
     cam_near_far=None,      # [n, 2] or None
     mosaiced: bool = False,
     patch_size: int = 1,
+    coords=None,            # [num_rays, 2] explicit (row, col) or None
+    coord_image_indices=None,  # [num_rays] image ids for coords or None
 ) -> Dict[str, jnp.ndarray]:
     """Sample a training ray bundle. Returns rays, GT pixels and per-ray
-    conditioning, everything [num_rays, ...]."""
+    conditioning, everything [num_rays, ...].
+
+    ``coords`` replicates the reference's explicit-pixel hook
+    (train_utils.py:121-123, ``coords[:, 0] * W + coords[:, 1]``): when
+    given, rays go through exactly those (row, col) pixels — the entry
+    point for error-map / importance sampling — drawn from
+    ``coord_image_indices`` (or a single random image if omitted,
+    matching the reference's one-image batches in that mode).
+    """
     n, H, W, C = images.shape
     k_img, k_pix = jax.random.split(key)
 
-    if random_image_batch:
+    if coord_image_indices is not None:
+        img_idx = jnp.asarray(coord_image_indices)
+    elif random_image_batch and coords is None:
         img_idx = jax.random.randint(k_img, (num_rays,), 0, n)
     else:
         img_idx = jnp.broadcast_to(
             jax.random.randint(k_img, (1,), 0, n), (num_rays,))
 
-    if patch_size > 1:
+    if coords is not None:
+        coords = jnp.asarray(coords)
+        flat = coords[:, 0] * W + coords[:, 1]
+    elif patch_size > 1:
         # square-patch sampling (train_utils.py:124-138): rays come in
         # contiguous patch_size x patch_size blocks (for patch losses)
         from raw_ngp_tpu.ops.rays import sample_pixel_indices

@@ -49,5 +49,6 @@ from raw_ngp_tpu.ops.rays import (
     near_far_from_aabb,
     pixel_rays,
     sample_pixel_indices,
+    sph_from_ray,
 )
 from raw_ngp_tpu.ops.sh import sh_encode, sh_output_dim

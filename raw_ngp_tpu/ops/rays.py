@@ -96,3 +96,25 @@ def full_image_rays(pose, intrinsics, H: int, W: int):
     """Rays for every pixel of an image, row-major [H*W, 3]."""
     inds = jnp.arange(H * W)
     return pixel_rays(pose, intrinsics, inds, W)
+
+
+def sph_from_ray(rays_o, rays_d, radius: float):
+    """Normalized spherical coords of each ray's FAR intersection with the
+    ``radius`` sphere (reference raymarching.cu:163-198 / sph_from_ray):
+    solve ||o + t d|| = radius for the larger root, then (theta, phi)
+    with y up, both mapped to [-1, 1]. Used as the input parameterization
+    of background models.
+
+    rays_o, rays_d: [..., 3] (directions need not be unit length).
+    Returns [..., 2] float32.
+    """
+    A = jnp.sum(rays_d * rays_d, axis=-1)
+    B = jnp.sum(rays_o * rays_d, axis=-1)          # B/2 of the quadratic
+    C = jnp.sum(rays_o * rays_o, axis=-1) - radius * radius
+    disc = jnp.maximum(B * B - A * C, 0.0)
+    t = (-B + jnp.sqrt(disc)) / A                  # larger (positive) root
+    p = rays_o + t[..., None] * rays_d
+    x, y, z = p[..., 0], p[..., 1], p[..., 2]
+    theta = jnp.arctan2(jnp.sqrt(x * x + z * z), y)     # [0, pi)
+    phi = jnp.arctan2(z, x)                             # [-pi, pi)
+    return jnp.stack([2.0 * theta / jnp.pi - 1.0, phi / jnp.pi], axis=-1)

@@ -84,6 +84,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--samples_per_ray", type=int, default=64,
                    help="TPU static per-ray sample budget")
     p.add_argument("--march_candidates", type=int, default=512)
+    p.add_argument("--coarse_probes", type=int, default=0,
+                   help="two-level march: probes per ray against the 4^3 "
+                        "max-pooled occupancy before fine candidates "
+                        "(0 = off)")
 
     # batch size
     p.add_argument("--num_rays", type=int, default=4096)
@@ -196,6 +200,7 @@ def args_to_config(args) :
             occupancy=args.occupancy, max_steps=args.max_steps,
             samples_per_ray=args.samples_per_ray,
             march_candidates=args.march_candidates,
+            coarse_probes=args.coarse_probes,
             num_steps=tuple(args.num_steps), dt_gamma=args.dt_gamma,
             background=args.background,
             update_extra_interval=args.update_extra_interval,
@@ -254,8 +259,7 @@ def args_to_config(args) :
                  ("num_levels", "level_dim", "grid_mlp_hidden",
                   "view_mlp_hidden") if getattr(args, k)}
     if size_over:
-        from dataclasses import replace as _rep
-        cfg = _rep(cfg, model=_rep(cfg.model, **size_over))
+        cfg = replace(cfg, model=replace(cfg.model, **size_over))
     if args.pose_opt != "none":
         n = args.num_cameras
         if n == -1:

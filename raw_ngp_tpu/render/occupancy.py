@@ -160,10 +160,15 @@ def coarse_spans(rays_o, rays_d, coarse_lin, nears, fars, bound: float,
     The static-shape analogue of the reference's DDA empty-space skipping
     (raymarching.cu:446-460): instead of skipping cells mid-march, probe
     a dilated coarse grid first and shrink the span the fine candidates
-    cover. Probes OR across every cascade >= mip_from_pos, so whatever
-    mip the fine march later selects (>= mip_from_pos always) is covered.
-    Rays with no coarse hit collapse to an empty span at `far` (the fine
-    march's `t < far` guard then drops every candidate).
+    cover. Probes OR across EVERY cascade: a per-probe mip gate would
+    need the worst-case mip over the half-spacing neighborhood, not the
+    probe point's own mip — a probe sitting just outside the unit cube
+    (mip 1) can neighbor in-cube samples whose fine march tests cascade
+    0, and gating on the probe's mip dropped exactly those (measured:
+    rays grazing the |x|_inf = 1 shell rendered black). Testing extra
+    cascades only widens spans — conservative, never wrong. Rays with no
+    coarse hit collapse to an empty span at `far` (the fine march's
+    `t < far` guard then drops every candidate).
     """
     hc = grid_size // 4
     N = rays_o.shape[0]
@@ -180,9 +185,6 @@ def coarse_spans(rays_o, rays_d, coarse_lin, nears, fars, bound: float,
         scale = (2.0 - 1.0 / safe) / safe
         cpos = jnp.where(mag[..., None] > 1.0, pos * scale, pos)
 
-    lp = jnp.floor(jnp.log2(jnp.maximum(mag, 1e-12))) + 1.0
-    mip_pos = jnp.clip(lp, 0.0, cascades - 1).astype(jnp.int32)
-
     occ = jnp.zeros(t.shape, jnp.bool_)
     for lvl in range(cascades):
         mb = min(2.0 ** lvl, bound)
@@ -193,7 +195,7 @@ def coarse_spans(rays_o, rays_d, coarse_lin, nears, fars, bound: float,
         # flattened 1-D gather: [N, P<128] operands are tile-padded and
         # fall off the fast gather path (CLAUDE.md layout rule)
         hit = coarse_lin[idx.reshape(-1)].reshape(idx.shape)
-        occ = occ | ((hit > 0) & (lvl >= mip_pos))
+        occ = occ | (hit > 0)
     if contract:
         occ = occ | (mag > 1.0)
     occ = occ & (t < fars)

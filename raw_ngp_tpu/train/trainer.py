@@ -424,15 +424,12 @@ class Trainer:
             from raw_ngp_tpu.parallel import (
                 make_mesh,
                 make_parallel_eval_render,
-                make_parallel_train_step,
                 replicate_to_mesh,
             )
             assert self.num_rays % self.n_devices == 0, \
                 "num_rays must divide the device mesh"
             self.mesh = make_mesh(self.n_devices, cfg.parallel.mesh_axis)
-            self._train_step = make_parallel_train_step(
-                cfg, self.spec, self.net_tx, self.pose_tx, self.num_rays,
-                self.mesh, cfg.parallel.mesh_axis)
+            self._train_step = self._make_step(self.num_rays, None)
             self._eval_chunk = (self._eval_chunk // self.n_devices
                                 * self.n_devices) or self.n_devices
             self._eval_render = make_parallel_eval_render(
@@ -443,8 +440,7 @@ class Trainer:
                                                   self.mesh)
             self.aabb = replicate_to_mesh(self.aabb, self.mesh)
         else:
-            self._train_step = make_train_step(cfg, self.spec, self.net_tx,
-                                               self.pose_tx, self.num_rays)
+            self._train_step = self._make_step(self.num_rays, None)
             self._eval_render = make_eval_render(cfg, self.spec,
                                                  self._eval_chunk)
         if cfg.render.occupancy:
@@ -500,6 +496,39 @@ class Trainer:
         return arrays
 
     # ------------------------------------------------------------------
+    def _make_step(self, num_rays: int, budget_key):
+        """Build the train step for an adaptive-batch key
+        (num_rays, point budget; budget None = config-derived base).
+
+        On a mesh the per-device point budget is ALWAYS explicit: the
+        in-render anchor min(N, cfg.train.num_rays) (render/occupancy.py)
+        is evaluated per SHARD, so once adaptive growth raises num_rays
+        past the base the per-shard N grows with it and the GLOBAL
+        field-eval cost scales with ray count instead of holding
+        constant. base_budget/n_devices per shard keeps the single-device
+        invariant (and equals the old anchor at base ray counts)."""
+        cfg = self.cfg
+        if self.mesh is not None:
+            from raw_ngp_tpu.parallel import make_parallel_train_step
+            budget = budget_key
+            if (budget is None and cfg.render.occupancy
+                    and cfg.render.compact_ratio > 0):
+                budget = max(
+                    int(cfg.train.num_rays * cfg.render.samples_per_ray
+                        * cfg.render.compact_ratio) // 128 * 128, 128)
+            cfg2 = cfg
+            if budget is not None:
+                per_dev = max(budget // self.n_devices // 128 * 128, 128)
+                cfg2 = replace(cfg, render=replace(
+                    cfg.render, point_budget=per_dev))
+            return make_parallel_train_step(
+                cfg2, self.spec, self.net_tx, self.pose_tx, num_rays,
+                self.mesh, cfg.parallel.mesh_axis)
+        cfg2 = cfg if budget_key is None else replace(
+            cfg, render=replace(cfg.render, point_budget=budget_key))
+        return make_train_step(cfg2, self.spec, self.net_tx,
+                               self.pose_tx, num_rays)
+
     def _adapt_batch(self, metrics):
         """TPU adaptive batching (train_utils.py:563-564 semantics). The
         reference re-sizes every batch so num_rays * samples/ray lands on
@@ -548,24 +577,10 @@ class Trainer:
             return
         self.num_rays, self._point_budget = key
         if key not in self._step_cache:
-            if self.mesh is not None:
-                # mesh-aware respecialization (ref has no modal
-                # restriction either, train_utils.py:563-564): the global
-                # budget divides across devices — render_occupancy reads
-                # point_budget PER SHARD inside shard_map
-                from raw_ngp_tpu.parallel import make_parallel_train_step
-                per_dev = (None if budget_key is None else
-                           max(budget // self.n_devices // 128 * 128, 128))
-                cfg2 = cfg if per_dev is None else replace(
-                    cfg, render=replace(cfg.render, point_budget=per_dev))
-                self._step_cache[key] = make_parallel_train_step(
-                    cfg2, self.spec, self.net_tx, self.pose_tx, num_rays,
-                    self.mesh, cfg.parallel.mesh_axis)
-            else:
-                cfg2 = cfg if budget_key is None else replace(
-                    cfg, render=replace(cfg.render, point_budget=budget))
-                self._step_cache[key] = make_train_step(
-                    cfg2, self.spec, self.net_tx, self.pose_tx, num_rays)
+            # mesh-aware respecialization included (the reference has no
+            # modal restriction either, train_utils.py:563-564); the
+            # global budget divides across devices inside _make_step
+            self._step_cache[key] = self._make_step(num_rays, budget_key)
         self._train_step = self._step_cache[key]
         self.logger.log(
             f"[train] adaptive batch -> num_rays {num_rays}, point "

@@ -137,3 +137,40 @@ def test_dilate_radius_scales_with_bound():
     assert _coarse_dilate_radius(1.0, 128, 64) == 1
     assert _coarse_dilate_radius(2.0, 128, 64) == 1
     assert _coarse_dilate_radius(2.0, 128, 16) >= 2
+
+
+def test_cascade0_shell_content_not_dropped():
+    """Regression (round-3 review, CONFIRMED repro): with a mip gate on
+    the probe position, rays grazing the |x|_inf = 1 shell had every
+    probe land at mag > 1 (mip 1) and never tested cascade 0 — occupied
+    cascade-0 content at the shell got its span collapsed to empty and
+    rendered black. Spans must keep every fine sample regardless of
+    where the probes sit relative to the unit cube."""
+    gs, cascades, bound, n_probes = 32, 2, 2.0, 64
+    # one occupied cascade-0 cell hugging the unit-cube corner
+    cell = np.asarray(morton3d(jnp.asarray([[31, 31, 16]],
+                                           dtype=jnp.int32)))[0]
+    dens = np.zeros((cascades, gs ** 3), np.float32)
+    dens[0, cell] = 100.0                       # cascade 1 stays EMPTY
+    bitfield = packbits(jnp.asarray(dens), 1.0)
+
+    # rays that dip inside the unit cube for less than one probe spacing
+    N = 27
+    ro = jnp.stack([jnp.full((N,), -2.0),
+                    jnp.linspace(0.93, 0.999, N),
+                    jnp.full((N,), 0.02)], axis=-1)
+    rd = jnp.tile(jnp.array([[1.0, 0.0, 0.0]]), (N, 1))
+    nears = jnp.full((N, 1), 0.05)
+    fars = jnp.full((N, 1), 2.0 * np.sqrt(3.0) * bound)
+
+    m_full = march_rays(ro, rd, bitfield, nears, fars, bound, False, gs,
+                        cascades, 512, 128, coarse_probes=0)
+    m_coarse = march_rays(ro, rd, bitfield, nears, fars, bound, False,
+                          gs, cascades, 512, 128, coarse_probes=n_probes)
+    full_hits = np.asarray(m_full["mask"]).any(axis=1)
+    coarse_hits = np.asarray(m_coarse["mask"]).any(axis=1)
+    assert full_hits.any()                       # geometry is visible
+    # every ray the full-span march finds content on must also find
+    # content with the coarse pre-pass
+    np.testing.assert_array_equal(coarse_hits[full_hits],
+                                  np.ones(full_hits.sum(), bool))

@@ -20,8 +20,10 @@ def timeit(fn, *a, n=10, name=""):
     except Exception as e:
         print(f"{name:52s} FAIL {str(e)[:160]}", flush=True)
 
+import os
 import sys
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 import raw_ngp_tpu.kernels.hash_fused as hf
 from raw_ngp_tpu.ops.hashgrid import HashGridSpec
 

@@ -1,0 +1,96 @@
+"""A/B sweep for march-shape variants on the real TPU chip.
+
+Round-3 state (tools/tpu_profile.py step, v5e): the 236 ms train step
+splits into march 82.5 ms, field fwd+bwd ~84 ms, bwd+opt+ema ~84 ms,
+grid refresh 14.5 ms/step amortized. The march is the largest single
+stage; the two-level coarse pre-pass (render/occupancy.coarse_spans)
+tightens [near, far] so fewer fine candidates cover the occupied span.
+
+This harness measures, per variant: steady-state rays/s over a timed
+window AND bench.py's train-view/held-out PSNR floors at 472 steps, so
+march_candidates cuts are quality-gated exactly like the round-2 hash
+study.
+
+Usage (real TPU, ~6 min per variant with a warm compile cache):
+  python tools/perf_sweep.py                     # default grid
+  python tools/perf_sweep.py --variants 512:0 256:32 256:64
+    (march_candidates:coarse_probes pairs)
+
+Writes /tmp/perf_sweep.json.
+"""
+
+import argparse
+import json
+import os
+import time
+from dataclasses import replace
+
+import numpy as np
+
+
+def run_variant(march_candidates: int, coarse_probes: int,
+                iters: int = 472, timed: int = 200):
+    import jax
+    from raw_ngp_tpu.config import Config
+    from raw_ngp_tpu.data import make_synthetic_scene
+    from raw_ngp_tpu.train import Trainer
+
+    # EXACTLY bench.py's flagship configuration + scene
+    cfg = Config().with_preset_O().with_tpu_profile()
+    cfg = replace(cfg, train=replace(cfg.train, fp16=True, num_rays=8192))
+    cfg = replace(cfg, render=replace(
+        cfg.render, march_candidates=march_candidates,
+        coarse_probes=coarse_probes))
+    cfg = cfg.validate()
+    train_scene, val_scene = make_synthetic_scene(n_train=36, n_val=2,
+                                                  H=128, W=128)
+    tr = Trainer(cfg, train_scene, val_scene,
+                 workspace=f"/tmp/sweep_ws_{march_candidates}_{coarse_probes}")
+    tr.train(iters=iters - timed, log_every=10 ** 9)    # warmup + fit
+    r = tr.train(iters=timed, log_every=10 ** 9)        # timed window
+
+    held = float(tr.evaluate()["psnr"])
+    rgb_t, _ = tr.render_image(train_scene.poses[0], train_scene.intrinsics,
+                               train_scene.H, train_scene.W)
+    gt_t = np.asarray(train_scene.images[0][..., :3])
+    mse = float(np.mean((np.clip(np.asarray(rgb_t), 0, 1) - gt_t) ** 2))
+    return {
+        "march_candidates": march_candidates,
+        "coarse_probes": coarse_probes,
+        "rays_per_sec": round(r["rays_per_sec"], 1),
+        "ms_per_step": round(1e3 * r["wall_time"] / timed, 1),
+        "psnr_trainview": round(-10.0 * np.log10(mse + 1e-12), 3),
+        "psnr_heldout": round(held, 3),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variants", nargs="*",
+                    default=["512:0", "512:32", "256:32", "256:64",
+                             "192:64"],
+                    help="march_candidates:coarse_probes pairs")
+    ap.add_argument("--out", default="/tmp/perf_sweep.json")
+    args = ap.parse_args()
+    os.environ.setdefault("RAW_NGP_COMPILE_CACHE", "/tmp/raw_ngp_jax_cache")
+
+    results = []
+    for v in args.variants:
+        mc, cp = (int(x) for x in v.split(":"))
+        t0 = time.time()
+        rec = run_variant(mc, cp)
+        rec["wall_s"] = round(time.time() - t0, 1)
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=1)
+    base = results[0]
+    best = max(results, key=lambda r: r["rays_per_sec"]
+               if r["psnr_trainview"] >= base["psnr_trainview"] - 0.3
+               else -1)
+    print(json.dumps({"baseline": base, "best_quality_gated": best}))
+
+
+if __name__ == "__main__":
+    main()

@@ -98,6 +98,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n_devices", type=int, default=0,
                    help="device-mesh size for data-parallel training; "
                         "0 = all accelerator devices, 1 = single device")
+    p.add_argument("--tp_devices", type=int, default=1,
+                   help="tensor-parallel factor: shard the hash table's "
+                        "channel axis over this many devices (must divide "
+                        "n_devices and level_dim); the mesh becomes "
+                        "(n_devices/tp, tp)")
 
     # regularizers
     p.add_argument("--lambda_entropy", type=float, default=0.0)
@@ -246,7 +251,8 @@ def args_to_config(args) :
             visibility_culling=args.mesh_visibility_culling,
             visibility_mask_dilation=args.visibility_mask_dilation,
             clean_min_f=args.clean_min_f, clean_min_d=args.clean_min_d),
-        parallel=ParallelConfig(num_devices=args.n_devices),
+        parallel=ParallelConfig(num_devices=args.n_devices,
+                                tp_devices=args.tp_devices),
         workspace=args.workspace, ckpt=args.ckpt)
 
     if args.lightstage:

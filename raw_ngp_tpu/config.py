@@ -232,6 +232,13 @@ class ParallelConfig:
     num_devices: int = 0              # 0 = all local devices
     mesh_axis: str = "dp"
     shard_rays: bool = True
+    # tensor parallelism over the hash table's channel axis: num_devices
+    # (or all local devices) split as a (dp, tp) 2-D mesh with
+    # dp = total // tp_devices. tp shards the [n_params, C] table on C
+    # (each device owns C/tp channels of every row; one feature
+    # all_gather per encode) — for tables too large to replicate.
+    # Requires model.level_dim % tp_devices == 0 and occupancy mode.
+    tp_devices: int = 1
 
 
 @dataclass(frozen=True)
@@ -350,6 +357,16 @@ class Config:
         if self.render.contract:
             assert not self.render.mark_untrained, \
                 "mark_untrained is incorrect under contraction (main.py:174-176)"
+        tp = self.parallel.tp_devices
+        assert tp >= 1
+        if tp > 1:
+            assert self.model.level_dim % tp == 0, \
+                "tp_devices must divide model.level_dim (channel sharding)"
+            assert self.render.occupancy, \
+                "tensor parallelism requires occupancy mode (no prop grids)"
+            assert self.train.lambda_tv == 0 and self.train.lambda_wd == 0, \
+                "grid regularizers are not tp-aware yet (per-shard loss " \
+                "terms would break the identical-loss invariant)"
         return self
 
 

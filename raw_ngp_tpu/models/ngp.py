@@ -44,6 +44,13 @@ class FieldSpec:
     cfg: Config
     grid_spec: HashGridSpec
     prop_specs: tuple  # tuple[HashGridSpec, ...]
+    # tensor parallelism over the hash table's CHANNEL axis (parallel/tp.py):
+    # set only inside the tp train step's shard_map, where `tp_axis` is a
+    # bound mesh axis. Row indexing is channel-independent, so every device
+    # runs the identical SPMD encode on its [n_params, C/tp] shard and one
+    # all_gather on the channel axis reassembles the exact global features.
+    tp_axis: Optional[str] = None
+    tp_devices: int = 1
 
     @property
     def compute_dtype(self):
@@ -164,8 +171,27 @@ def baangp_blend(cfg: Config, annealing, feats):
 # ---------------------------------------------------------------------------
 
 def _encode(params_table, x, grid_spec, spec: FieldSpec):
-    """Dispatch plain vs fused hash encoder."""
+    """Dispatch plain vs fused hash encoder; optionally channel-TP."""
     cfg = spec.cfg
+    tp = spec.tp_devices
+    if (spec.tp_axis is not None and tp > 1
+            and grid_spec is spec.grid_spec):
+        # channel-sharded tensor parallelism (parallel/tp.py): the local
+        # shard is [n_params, C/tp]; hash row math is identical on every
+        # device, so encode with a level_dim=C/tp spec and all_gather the
+        # channel axis — the result is bit-equal to the single-device
+        # encode (device d holds channels [d*C/tp, (d+1)*C/tp)).
+        import dataclasses as _dc
+        C = grid_spec.level_dim
+        assert C % tp == 0, "level_dim must divide tp_devices"
+        local_spec = _dc.replace(grid_spec, level_dim=C // tp)
+        f = _encode(params_table, x,  local_spec,
+                    _dc.replace(spec, tp_axis=None, grid_spec=local_spec))
+        L = grid_spec.num_levels
+        fl = f.reshape(*f.shape[:-1], L, C // tp)
+        fg = jax.lax.all_gather(fl, spec.tp_axis, axis=fl.ndim - 1,
+                                tiled=False)        # [..., L, tp, C/tp]
+        return fg.reshape(*f.shape[:-1], L * C)
     if cfg.model.fused_encoder:
         from raw_ngp_tpu.kernels.hash_fused import hash_encode_fast
         return hash_encode_fast(params_table, x, grid_spec,

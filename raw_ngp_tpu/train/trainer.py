@@ -418,6 +418,11 @@ class Trainer:
             self.n_devices = n_avail if jax.default_backend() != "cpu" else 1
         else:
             self.n_devices = min(n_req, n_avail)
+        self.n_tp = cfg.parallel.tp_devices
+        if self.n_tp > 1:
+            assert self.n_devices % self.n_tp == 0, \
+                "tp_devices must divide the device count"
+        self.n_dp = self.n_devices // self.n_tp
         self.mesh = None
         self._eval_chunk = cfg.render.max_ray_batch
         if self.n_devices > 1:
@@ -426,15 +431,21 @@ class Trainer:
                 make_parallel_eval_render,
                 replicate_to_mesh,
             )
-            assert self.num_rays % self.n_devices == 0, \
-                "num_rays must divide the device mesh"
-            self.mesh = make_mesh(self.n_devices, cfg.parallel.mesh_axis)
+            assert self.num_rays % max(self.n_dp, 1) == 0, \
+                "num_rays must divide the dp mesh axis"
+            if self.n_tp > 1:
+                from raw_ngp_tpu.parallel.tp import grid_to_2d, make_tp_mesh
+                self.mesh = make_tp_mesh(self.n_dp, self.n_tp)
+                self.state = grid_to_2d(self.state, self.spec)
+            else:
+                self.mesh = make_mesh(self.n_devices, cfg.parallel.mesh_axis)
             self._train_step = self._make_step(self.num_rays, None)
-            self._eval_chunk = (self._eval_chunk // self.n_devices
-                                * self.n_devices) or self.n_devices
+            # eval rays shard over the dp axis only (tp shards channels)
+            self._eval_chunk = (self._eval_chunk // self.n_dp
+                                * self.n_dp) or self.n_dp
             self._eval_render = make_parallel_eval_render(
                 cfg, self.spec, self.mesh, self._eval_chunk,
-                cfg.parallel.mesh_axis)
+                "dp" if self.n_tp > 1 else cfg.parallel.mesh_axis)
             # state is placed by _place_state() at the end of __init__
             self.scene_arrays = replicate_to_mesh(self.scene_arrays,
                                                   self.mesh)
@@ -475,9 +486,17 @@ class Trainer:
         self._place_state()
 
     def _place_state(self):
-        """(Re)place the train state on the mesh — replicated across the dp
-        axis — after init, mark_untrained or checkpoint load."""
-        if self.mesh is not None:
+        """(Re)place the train state on the mesh — replicated across dp,
+        grid-table leaves channel-sharded when tp is on — after init,
+        mark_untrained or checkpoint load."""
+        if self.mesh is None:
+            return
+        if self.n_tp > 1:
+            from raw_ngp_tpu.parallel.tp import grid_to_2d, place_state_tp
+            # checkpoint loads restore flat tables; re-derive the 2-D view
+            self.state = grid_to_2d(self.state, self.spec)
+            self.state = place_state_tp(self.state, self.mesh, self.spec)
+        else:
             from raw_ngp_tpu.parallel import replicate_to_mesh
             self.state = replicate_to_mesh(self.state, self.mesh)
 
@@ -518,9 +537,16 @@ class Trainer:
                         * cfg.render.compact_ratio) // 128 * 128, 128)
             cfg2 = cfg
             if budget is not None:
-                per_dev = max(budget // self.n_devices // 128 * 128, 128)
+                # rays shard over dp only; each tp device of a row
+                # redundantly renders the row's full ray shard
+                per_dev = max(budget // self.n_dp // 128 * 128, 128)
                 cfg2 = replace(cfg, render=replace(
                     cfg.render, point_budget=per_dev))
+            if self.n_tp > 1:
+                from raw_ngp_tpu.parallel.tp import make_tp_train_step
+                return make_tp_train_step(
+                    cfg2, self.spec, self.net_tx, self.pose_tx, num_rays,
+                    self.mesh)
             return make_parallel_train_step(
                 cfg2, self.spec, self.net_tx, self.pose_tx, num_rays,
                 self.mesh, cfg.parallel.mesh_axis)

@@ -92,3 +92,31 @@ def test_grad_under_jit_and_vmap_composition(spec):
     g = jax.jit(jax.grad(loss))(params)
     assert np.all(np.isfinite(np.asarray(g)))
     assert float(jnp.abs(g).sum()) > 0
+
+
+@pytest.mark.parametrize("level_dim", [4, 8])
+def test_wide_channel_layouts_match_reference(level_dim):
+    """C=4 is the shipped TPU profile; C=8 is the ROADMAP L4xC8
+    record-halving candidate (tools/perf_sweep.py) — pin both fused
+    paths (forward + table gradient) against the oracle."""
+    spec = HashGridSpec.create(input_dim=3, num_levels=4,
+                               level_dim=level_dim, base_resolution=4,
+                               log2_hashmap_size=9, desired_resolution=32,
+                               hash_variant="additive")
+    params = jax.random.normal(jax.random.PRNGKey(0),
+                               (spec.n_params, spec.level_dim)) * 0.1
+    x01 = jax.random.uniform(jax.random.PRNGKey(1), (129, 3))
+    got = hash_encode_fused(params, x01, spec)
+    want = hash_encode_01(params, x01, spec)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-8)
+
+    cot = jax.random.normal(jax.random.PRNGKey(2),
+                            (129, spec.output_dim))
+    g_fused = jax.grad(
+        lambda p: (hash_encode_fused(p, x01, spec) * cot).sum())(params)
+    g_ref = jax.grad(
+        lambda p: (hash_encode_01(p, x01, spec) * cot).sum())(params)
+    scale = np.abs(np.asarray(g_ref)).max()
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
+                               rtol=3e-2, atol=1e-2 * scale)

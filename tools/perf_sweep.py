@@ -29,6 +29,7 @@ import numpy as np
 
 
 def run_variant(march_candidates: int, coarse_probes: int,
+                num_levels: int = 0, level_dim: int = 0,
                 iters: int = 472, timed: int = 200):
     import jax
     from raw_ngp_tpu.config import Config
@@ -41,6 +42,12 @@ def run_variant(march_candidates: int, coarse_probes: int,
     cfg = replace(cfg, render=replace(
         cfg.render, march_candidates=march_candidates,
         coarse_probes=coarse_probes))
+    if num_levels:
+        # ROADMAP path 4: an L x C reshape at constant L*C halves the
+        # sort/segsum record count M per level halving (8 levels x C4 ->
+        # 4 x C8 is M/2) at some multiresolution-ladder quality risk
+        cfg = replace(cfg, model=replace(
+            cfg.model, num_levels=num_levels, level_dim=level_dim))
     cfg = cfg.validate()
     train_scene, val_scene = make_synthetic_scene(n_train=36, n_val=2,
                                                   H=128, W=128)
@@ -68,17 +75,21 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--variants", nargs="*",
                     default=["512:0", "512:32", "256:32", "256:64",
-                             "192:64"],
-                    help="march_candidates:coarse_probes pairs")
+                             "192:64", "256:32:4:8"],
+                    help="march_candidates:coarse_probes[:levels:chans]")
     ap.add_argument("--out", default="/tmp/perf_sweep.json")
     args = ap.parse_args()
     os.environ.setdefault("RAW_NGP_COMPILE_CACHE", "/tmp/raw_ngp_jax_cache")
 
     results = []
     for v in args.variants:
-        mc, cp = (int(x) for x in v.split(":"))
+        parts = [int(x) for x in v.split(":")]
+        mc, cp = parts[0], parts[1]
+        L, C = (parts[2], parts[3]) if len(parts) > 2 else (0, 0)
         t0 = time.time()
-        rec = run_variant(mc, cp)
+        rec = run_variant(mc, cp, L, C)
+        if L:
+            rec["levels_x_chans"] = f"{L}x{C}"
         rec["wall_s"] = round(time.time() - t0, 1)
         results.append(rec)
         print(json.dumps(rec), flush=True)

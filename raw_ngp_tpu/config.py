@@ -129,9 +129,12 @@ class TrainConfig:
     # measured loss 3e-4 -> 0.11 IRRECOVERABLE collapse at step ~636 of
     # the flagship bench config, reproduced deterministically on TPU and
     # CPU and independent of the backward implementation. eps=1e-8 at
-    # the same lr=1e-2 is stable and reaches LOWER loss (step-600-
-    # checkpoint A/B, 2026-08; see ROADMAP.md "Stability").
-    adam_eps: float = 1e-8
+    # the same lr=1e-2 is stable (step-600-checkpoint A/B) but damps
+    # tail-row learning (~-1 dB held-out on the tiny occupancy config);
+    # 1e-10 restores full quality there while still regularizing the
+    # degenerate-v rows. See ROADMAP.md "Stability" for the escalation
+    # ladder if the 5k-step flagship curve ever collapses again.
+    adam_eps: float = 1e-10
     anneal_lr: bool = False           # main.py:120 (cosine restarts)
     num_rays: int = 4096              # main.py:59
     # TPU reformulation of the reference's adaptive ray batching

@@ -49,9 +49,13 @@ def look_at_pose(eye: np.ndarray, target: np.ndarray,
     return pose
 
 
-def _trace(origins, dirs, light=None):
+def _trace(origins, dirs, light=None, textured=False):
     """Analytic ray trace of the sphere scene. origins/dirs [N, 3];
-    optional per-call light direction (unit, pointing AT the scene)."""
+    optional per-call light direction (unit, pointing AT the scene).
+    ``textured`` modulates each sphere's albedo with a lat/long checker —
+    flat-albedo scenes saturate PSNR and under-constrain geometry, so
+    quality studies use the textured variant (the bench scene stays
+    flat for round-over-round comparability)."""
     N = origins.shape[0]
     best_t = np.full(N, np.inf)
     color = np.zeros((N, 3))
@@ -69,9 +73,15 @@ def _trace(origins, dirs, light=None):
             continue
         p = origins[valid] + dirs[valid] * t[valid, None]
         n = (p - c) / r
+        albedo = np.broadcast_to(_ALBEDO[s], (valid.sum(), 3))
+        if textured:
+            theta = np.arccos(np.clip(n[:, 2], -1.0, 1.0)) / np.pi
+            phi = (np.arctan2(n[:, 1], n[:, 0]) + np.pi) / (2 * np.pi)
+            checker = (np.floor(theta * 8) + np.floor(phi * 12)) % 2
+            albedo = albedo * (0.45 + 0.55 * checker)[:, None]
         L = _LIGHT if light is None else -np.asarray(light, np.float64)
         lam = np.clip(n @ L, 0.0, 1.0) * 0.85 + 0.15
-        color[valid] = _ALBEDO[s] * lam[:, None]
+        color[valid] = albedo * lam[:, None]
         best_t[valid] = t[valid]
     return color, best_t
 
@@ -85,6 +95,7 @@ def make_synthetic_scene(
     fov_deg: float = 50.0,
     hdr: bool = False,
     rfield: bool = False,
+    textured: bool = False,
     seed: int = 0,
 ) -> Tuple[SceneData, SceneData]:
     """Generate (train, val) SceneData on a camera ring with two
@@ -128,7 +139,8 @@ def make_synthetic_scene(
         d = d / np.linalg.norm(d, axis=-1, keepdims=True)
         o = np.broadcast_to(t, d.shape)
         col, _ = _trace(o.astype(np.float64), d.astype(np.float64),
-                        light=ldirs[i] if rfield else None)
+                        light=ldirs[i] if rfield else None,
+                        textured=textured)
         img = col.reshape(H, W, 3).astype(np.float32)
         if hdr:
             # simulate bracketing: the RECORDED image is scene radiance

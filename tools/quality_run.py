@@ -27,6 +27,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=5000)
     ap.add_argument("--eval_every", type=int, default=500)
+    ap.add_argument("--textured", action="store_true",
+                    help="lat/long-checker albedo: a sharper PSNR "
+                         "instrument than the flat bench scene")
     ap.add_argument("--out", default="/tmp/quality_run.json")
     args = ap.parse_args()
 
@@ -41,7 +44,7 @@ def main():
     cfg = replace(cfg, train=replace(cfg.train, fp16=True, num_rays=8192))
     cfg = cfg.validate()
     train_scene, val_scene = make_synthetic_scene(
-        n_train=36, n_val=2, H=128, W=128)
+        n_train=36, n_val=2, H=128, W=128, textured=args.textured)
     tr = Trainer(cfg, train_scene, val_scene, workspace="/tmp/quality_ws")
 
     curve = []

@@ -166,6 +166,13 @@ class TrainConfig:
     max_keep_ckpt: int = 2            # train_utils.py:347
     seed: int = 0
     diffuse_step: int = 0
+    # steps chained into ONE dispatched executable via lax.scan. Each
+    # dispatch on the remote-tunnel TPU backend costs ~17 ms of host
+    # latency (tools/tpu_profile.py loop); chaining update_extra_interval
+    # steps per dispatch makes that per-chunk instead of per-step.
+    # 0 = auto (the grid-refresh interval in occupancy mode, 16
+    # otherwise); 1 = one dispatch per step (previous behavior).
+    steps_per_dispatch: int = 0
 
 
 @dataclass(frozen=True)

@@ -417,10 +417,20 @@ def _segment_sum_sorted_scatter(keys_sorted, val_channels, n_rows: int):
     return jnp.stack(out[:nc], axis=-1)
 
 
+# In-situ bisection knob (tools/tpu_profile.py bisect): "full" runs the
+# real table gradient; "zero" skips records+sort+segsum entirely; "sort"
+# builds and sorts the records but replaces the segment-total placement
+# with a cheap sort-dependent reduction. Trace-time only — never set
+# outside profiling.
+TABLE_GRAD_MODE = "full"
+
+
 def _window_bwd_table(spec, res, g):
     """Table gradient through the window scheme: sort window records,
     segment-sum 2C channels, combine G0 + shift(G1) into the flat table."""
     params, x01, base, w0, w1 = res
+    if TABLE_GRAD_MODE == "zero":
+        return jnp.zeros_like(params)
     P, B = base.shape
     C = spec.level_dim
     M = P * B
@@ -443,6 +453,15 @@ def _window_bwd_table(spec, res, g):
     packed = _pack_bf16_pairs(chans)
     sorted_ops = jax.lax.sort([keys] + packed, num_keys=1)
     keys_s = sorted_ops[0]
+    if TABLE_GRAD_MODE == "sort":
+        # keep the sort live (sum-of-sorted is order-invariant but XLA
+        # performs no such rewrite) while skipping the placement kernel
+        probe = sum(o[:: max(M // 128, 1)].astype(jnp.float32).sum()
+                    for o in sorted_ops)
+        # .at[].set of a tiny probe-dependent value: XLA cannot fold it
+        # away (0.0 * x IS foldable when x is provably finite)
+        return jnp.zeros_like(params).reshape(-1).at[0].set(
+            (probe * 1e-38).astype(params.dtype)).reshape(params.shape)
     if segsum_pallas.use_pallas_segsum():
         # streaming Pallas placement: exact f32 totals, no XLA scatter
         totals = segsum_pallas.segment_totals_pallas(

@@ -38,7 +38,8 @@ def make_mesh(num_devices: int = 0, axis: str = "dp") -> Mesh:
 
 
 def make_parallel_train_step(cfg: Config, spec: FieldSpec, net_tx, pose_tx,
-                             num_rays: int, mesh: Mesh, axis: str = "dp"):
+                             num_rays: int, mesh: Mesh, axis: str = "dp",
+                             scan_steps: int = 1):
     """Build the sharded train step.
 
     ``num_rays`` is the GLOBAL ray budget; each device renders
@@ -114,6 +115,10 @@ def make_parallel_train_step(cfg: Config, spec: FieldSpec, net_tx, pose_tx,
                         in_specs=(P(), P(), P()),
                         out_specs=(P(), P()),
                         check_vma=False)
+    if scan_steps > 1:
+        from raw_ngp_tpu.train.trainer import scan_train_steps
+        return jax.jit(scan_train_steps(sharded, scan_steps),
+                       donate_argnums=(0,))
     return jax.jit(sharded, donate_argnums=(0,))
 
 

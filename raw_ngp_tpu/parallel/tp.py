@@ -96,7 +96,8 @@ def place_state_tp(state: TrainState, mesh: Mesh, spec: FieldSpec,
 
 def make_tp_train_step(cfg: Config, spec: FieldSpec, net_tx, pose_tx,
                        num_rays: int, mesh: Mesh,
-                       dp_axis: str = "dp", tp_axis: str = "tp"):
+                       dp_axis: str = "dp", tp_axis: str = "tp",
+                       scan_steps: int = 1):
     """Sharded train step over the 2-D mesh: rays shard on dp, the hash
     table's channels on tp; optimizer runs per device on its local view.
     ``num_rays`` is GLOBAL; each dp row renders num_rays / n_dp rays
@@ -174,6 +175,10 @@ def make_tp_train_step(cfg: Config, spec: FieldSpec, net_tx, pose_tx,
             in_specs=(specs, P(), P()),
             out_specs=(specs, P()),
             check_vma=False)
+        if scan_steps > 1:
+            from raw_ngp_tpu.train.trainer import scan_train_steps
+            return jax.jit(scan_train_steps(sharded, scan_steps),
+                           donate_argnums=(0,))
         return jax.jit(sharded, donate_argnums=(0,))
 
     def step(state, scene, aabb):

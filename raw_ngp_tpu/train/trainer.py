@@ -243,8 +243,27 @@ def make_loss_fn(cfg: Config, spec: FieldSpec, num_rays: int):
     return loss_fn
 
 
+def scan_train_steps(step_fn, n: int):
+    """Chain ``n`` train steps into one executable with lax.scan (per-
+    dispatch host/tunnel latency measured ~17 ms on the axon backend —
+    one dispatch per grid-refresh interval instead of per step). The
+    chained program is bitwise-identical to n sequential dispatches
+    (same RNG chain through state.key); returns the LAST step's metrics,
+    which is exactly what the interval-cadenced logging/adaptive logic
+    consumed before."""
+
+    def multi(state, scene, aabb):
+        def body(st, _):
+            return step_fn(st, scene, aabb)
+
+        state, ms = jax.lax.scan(body, state, None, length=n)
+        return state, jax.tree.map(lambda a: a[-1], ms)
+
+    return multi
+
+
 def make_train_step(cfg: Config, spec: FieldSpec, net_tx, pose_tx,
-                    num_rays: int):
+                    num_rays: int, scan_steps: int = 1):
     """Build the jitted train step. Scene tensors are passed as arguments
     (not closed over) so the executable is scene-independent."""
     loss_fn = make_loss_fn(cfg, spec, num_rays)
@@ -309,6 +328,9 @@ def make_train_step(cfg: Config, spec: FieldSpec, net_tx, pose_tx,
         metrics = {"loss": loss, **aux}
         return new_state, metrics
 
+    if scan_steps > 1:
+        return jax.jit(scan_train_steps(train_step, scan_steps),
+                       donate_argnums=(0,))
     return jax.jit(train_step, donate_argnums=(0,))
 
 
@@ -474,7 +496,7 @@ class Trainer:
         # adaptive batching state (_adapt_batch)
         self._pts_ema = None
         self._point_budget = None      # None = base (config-derived)
-        self._step_cache = {(self.num_rays, None): self._train_step}
+        self._step_cache = {(self.num_rays, None, 1): self._train_step}
         # observability (train_utils.py:428-432 console+file, :919-937
         # tensorboard; rays/points counters per SURVEY §5.1)
         from raw_ngp_tpu.utils.logging import RunLogger, ThroughputMeter
@@ -515,7 +537,7 @@ class Trainer:
         return arrays
 
     # ------------------------------------------------------------------
-    def _make_step(self, num_rays: int, budget_key):
+    def _make_step(self, num_rays: int, budget_key, scan_steps: int = 1):
         """Build the train step for an adaptive-batch key
         (num_rays, point budget; budget None = config-derived base).
 
@@ -546,14 +568,24 @@ class Trainer:
                 from raw_ngp_tpu.parallel.tp import make_tp_train_step
                 return make_tp_train_step(
                     cfg2, self.spec, self.net_tx, self.pose_tx, num_rays,
-                    self.mesh)
+                    self.mesh, scan_steps=scan_steps)
             return make_parallel_train_step(
                 cfg2, self.spec, self.net_tx, self.pose_tx, num_rays,
-                self.mesh, cfg.parallel.mesh_axis)
+                self.mesh, cfg.parallel.mesh_axis, scan_steps=scan_steps)
         cfg2 = cfg if budget_key is None else replace(
             cfg, render=replace(cfg.render, point_budget=budget_key))
         return make_train_step(cfg2, self.spec, self.net_tx,
-                               self.pose_tx, num_rays)
+                               self.pose_tx, num_rays,
+                               scan_steps=scan_steps)
+
+    def _get_step(self, scan_steps: int = 1):
+        """Cached executable for the CURRENT adaptive-batch key at the
+        given dispatch chain length."""
+        key = (self.num_rays, self._point_budget, scan_steps)
+        if key not in self._step_cache:
+            self._step_cache[key] = self._make_step(
+                self.num_rays, self._point_budget, scan_steps)
+        return self._step_cache[key]
 
     def _adapt_batch(self, metrics):
         """TPU adaptive batching (train_utils.py:563-564 semantics). The
@@ -602,12 +634,10 @@ class Trainer:
         if key == (self.num_rays, self._point_budget):
             return
         self.num_rays, self._point_budget = key
-        if key not in self._step_cache:
-            # mesh-aware respecialization included (the reference has no
-            # modal restriction either, train_utils.py:563-564); the
-            # global budget divides across devices inside _make_step
-            self._step_cache[key] = self._make_step(num_rays, budget_key)
-        self._train_step = self._step_cache[key]
+        # mesh-aware respecialization included (the reference has no
+        # modal restriction either, train_utils.py:563-564); the
+        # global budget divides across devices inside _make_step
+        self._train_step = self._get_step(1)
         self.logger.log(
             f"[train] adaptive batch -> num_rays {num_rays}, point "
             f"budget {budget} (live pts/step ~{self._pts_ema:.0f})")
@@ -617,15 +647,22 @@ class Trainer:
         t0 = time.time()
         total_rays = 0
         interval = self.cfg.render.update_extra_interval
+        occupancy = self.cfg.render.occupancy
         adaptive = (self.cfg.train.adaptive_num_rays
-                    and self.cfg.render.occupancy
+                    and occupancy
                     and self.cfg.render.compact_ratio > 0)
+        # dispatch chain length (lax.scan inside one executable): per-
+        # dispatch host latency on the tunnel backend is ~17 ms — chain
+        # up to a grid-refresh interval of steps per dispatch
+        scan_n = self.cfg.train.steps_per_dispatch
+        if scan_n == 0:
+            scan_n = interval if occupancy else 16
         metrics = None
-        for i in range(iters):
+        i = 0
+        while i < iters:
             # host-side step counter: no device sync in the hot loop (the
             # reference forces one per step, raymarching.py:303)
-            if (self.cfg.render.occupancy
-                    and self.host_step % interval == 0):
+            if occupancy and self.host_step % interval == 0:
                 self.state = self._grid_update(self.state,
                                                self.host_grid_updates)
                 self.host_grid_updates += 1
@@ -642,18 +679,32 @@ class Trainer:
                     if stash is not None:
                         self._adapt_batch(stash)
                     self._adapt_stash = metrics
-            self.state, metrics = self._train_step(
-                self.state, self.scene_arrays, self.aabb)
-            self.host_step += 1
-            total_rays += self.num_rays
-            self.throughput.update(self.num_rays)
-            if (i + 1) % log_every == 0 or i == 0:
+            # steps until the next grid-refresh boundary / end of run;
+            # full chunks ride the scan executable, remainders go step
+            # by step (no per-length executable zoo)
+            n = min(scan_n, iters - i)
+            if occupancy:
+                n = min(n, interval - self.host_step % interval)
+            step_fn = (self._get_step(n) if n == scan_n
+                       else self._get_step(1))
+            if n == scan_n or n == 1:
+                self.state, metrics = step_fn(
+                    self.state, self.scene_arrays, self.aabb)
+            else:
+                for _ in range(n):
+                    self.state, metrics = step_fn(
+                        self.state, self.scene_arrays, self.aabb)
+            prev_i, i = i, i + n
+            self.host_step += n
+            total_rays += n * self.num_rays
+            self.throughput.update(n * self.num_rays)
+            if prev_i == 0 or (prev_i // log_every) != (i // log_every):
                 loss = float(metrics["loss"])
                 self.stats["loss"].append(loss)
                 self.logger.log(
                     f"[train] step {self.host_step:6d} "
                     f"loss {loss:.6f} "
-                    f"({(i + 1) / (time.time() - t0):.1f} it/s)")
+                    f"({i / (time.time() - t0):.1f} it/s)")
                 self.logger.scalar("train/loss", loss, self.host_step)
                 self.logger.scalar("train/num_points",
                                    float(metrics["num_points"]),

@@ -213,7 +213,14 @@ def step():
     t_fwd = timeit(fwd_j, st.params, n=10)
     print(f"loss forward:          {t_fwd*1e3:8.1f} ms")
 
-    grad_j = jax.jit(lambda p: jax.value_and_grad(fwd)(p)[0])
+    def _val_and_grad_sum(p):
+        # returning only the value lets XLA DCE the whole backward —
+        # reduce every grad leaf into the result to keep it live
+        l, gr = jax.value_and_grad(fwd)(p)
+        return l + sum(x.sum().astype(jnp.float32)
+                       for x in jax.tree_util.tree_leaves(gr))
+
+    grad_j = jax.jit(_val_and_grad_sum)
     t_fb = timeit(grad_j, st.params, n=10)
     print(f"loss fwd+bwd:          {t_fb*1e3:8.1f} ms "
           f"(bwd ~{(t_fb-t_fwd)*1e3:.1f}, opt+ema ~{(t_step-t_fb)*1e3:.1f})")
@@ -267,7 +274,9 @@ def step():
 
     t_ff = timeit(jax.jit(ff), st.params, n=10)
     print(f"field fwd   [{m_pad}]: {t_ff*1e3:8.1f} ms")
-    t_fg = timeit(jax.jit(lambda p: jax.grad(ff)(p)["grid"].sum()),
+    t_fg = timeit(jax.jit(lambda p: sum(
+        x.sum().astype(jnp.float32)
+        for x in jax.tree_util.tree_leaves(jax.grad(ff)(p)))),
                   st.params, n=10)
     print(f"field f+b   [{m_pad}]: {t_fg*1e3:8.1f} ms")
 
@@ -276,6 +285,49 @@ def step():
     print(f"grid refresh (partial):{t_gr*1e3:8.1f} ms "
           f"(/{cfg.render.update_extra_interval} steps = "
           f"{t_gr*1e3/cfg.render.update_extra_interval:.1f} ms/step)")
+
+
+def bisect():
+    """In-situ decomposition of the train-step BACKWARD: re-jit the REAL
+    step with pieces of the encoder table gradient faked (the
+    TABLE_GRAD_MODE knob in kernels/hash_fused.py). Isolated micro-times
+    are fusion/DCE-polluted; this keeps the whole surrounding graph."""
+    import jax
+    from dataclasses import replace
+
+    from raw_ngp_tpu.config import Config
+    from raw_ngp_tpu.data import make_synthetic_scene
+    from raw_ngp_tpu.train import Trainer
+    from raw_ngp_tpu.kernels import hash_fused
+
+    cfg = Config().with_preset_O().with_tpu_profile()
+    cfg = replace(cfg, train=replace(cfg.train, fp16=True, num_rays=8192))
+    cfg = cfg.validate()
+    train_scene, val_scene = make_synthetic_scene(n_train=36, n_val=2,
+                                                  H=128, W=128)
+    tr = Trainer(cfg, train_scene, val_scene, workspace="/tmp/prof_ws")
+    tr.train(iters=40, log_every=10 ** 9)
+
+    results = {}
+    for mode in ("full", "sort", "zero"):
+        hash_fused.TABLE_GRAD_MODE = mode
+        step = tr._make_step(tr.num_rays, None)
+
+        # the step donates state; time a non-donating wrapper by chaining
+        def chained(_s, scene, aabb, _step=step):
+            tr.state, metrics = _step(tr.state, scene, aabb)
+            return metrics
+
+        t = timeit(chained, tr.state, tr.scene_arrays, tr.aabb,
+                   n=10, warmup=2)
+        results[mode] = t
+        print(f"step [table_grad={mode:5s}]: {t*1e3:8.1f} ms")
+    hash_fused.TABLE_GRAD_MODE = "full"
+    seg = (results["full"] - results["sort"]) * 1e3
+    rec = (results["sort"] - results["zero"]) * 1e3
+    rest = results["zero"] * 1e3
+    print(f"-> segsum placement: {seg:.1f} ms; record build+sort: "
+          f"{rec:.1f} ms; everything else: {rest:.1f} ms")
 
 
 def loop():
@@ -312,6 +364,6 @@ def loop():
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("mode", choices=["micro", "step", "loop"])
+    ap.add_argument("mode", choices=["micro", "step", "loop", "bisect"])
     a = ap.parse_args()
-    {"micro": micro, "step": step, "loop": loop}[a.mode]()
+    {"micro": micro, "step": step, "loop": loop, "bisect": bisect}[a.mode]()

@@ -50,11 +50,13 @@ def main():
     # warmup: compile + the 16 FULL density-grid sweeps (renderer.py:824
     # cadence: refreshes 0-15 sweep every cell; steady state uses the much
     # cheaper partial refresh, so measure past refresh 16 like a real run)
-    warmup = 16 * cfg.render.update_extra_interval + 16
-    tr.train(iters=warmup, log_every=1000)
+    warmup = 18 * cfg.render.update_extra_interval   # 288: past the 16
+    tr.train(iters=warmup, log_every=1000)           # full-sweep refreshes
 
-    # steady-state measurement
-    iters = 200
+    # steady-state measurement. MULTIPLE of the scan-dispatch chunk
+    # (update_extra_interval): a remainder would compile the single-step
+    # executable inside the timed window (~45 s on the tunnel).
+    iters = 12 * cfg.render.update_extra_interval
     t0 = time.time()
     tr.train(iters=iters, log_every=10 ** 9)
     jax.block_until_ready(tr.state.params["grid"])
@@ -66,7 +68,7 @@ def main():
     # quality benchmark beside throughput (VERDICT r1 #6; protocol mirrors
     # debug/eval.py:157-205 pred-vs-gt PSNR). Two numbers:
     # * train-view PSNR: the sharp regression metric — training-math or
-    #   rendering regressions tank it immediately (measured 31 dB at 472
+    #   rendering regressions tank it immediately (measured ~29-31 dB at 480
     #   steps on this scene);
     # * held-out PSNR: view generalization; at 36 views this scene is
     #   sparse and hash-collision structure dominates it (see
@@ -89,9 +91,9 @@ def main():
             "wall_time_s": round(dt, 2),
             "num_rays": tr.num_rays,
             "samples_per_ray": cfg.render.samples_per_ray,
-            "psnr_trainview_at_472_steps": round(float(psnr_train), 3),
+            "psnr_trainview_at_480_steps": round(float(psnr_train), 3),
             "psnr_trainview_floor": 27.0,
-            "psnr_heldout_at_472_steps": round(float(psnr), 3),
+            "psnr_heldout_at_480_steps": round(float(psnr), 3),
             "backend": jax.default_backend(),
         },
     }

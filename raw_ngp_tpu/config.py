@@ -106,6 +106,14 @@ class RenderConfig:
     # static-shape counterpart of the reference's exact CSR compaction
     # (raymarching.cu:486-490 allocates exactly-counted buffers per step)
     point_budget: Optional[int] = None
+    # fraction of grid cells per refresh half (random / occupancy-biased)
+    # in the partial density-grid refresh. The reference resamples
+    # H^3/4 + H^3/4 per cascade (renderer.py:853-880) = 0.25; each
+    # density query costs ~130 ns of table gathers on TPU so the refresh
+    # is a first-order step cost (~15 ms/step amortized at 0.25) —
+    # lowering the fraction trades occupancy-grid freshness for step
+    # time (EMA decay 0.95 is forgiving; quality-gate any change).
+    grid_partial_fraction: float = 0.25
     num_steps: Tuple[int, ...] = (256, 96, 48)  # proposal mode, main.py:44
     dt_gamma: float = 0.0             # main.py:52
     background: str = "black"         # main.py:46: white|random|last_sample|black
@@ -340,10 +348,19 @@ class Config:
         2-row-window gatherable (kernels/hash_fused.py), halving gather and
         sort volume again on the hashed levels. Quality measured at or
         above the 16x2/xor layout on the synthetic benchmark scene (see
-        tests/bench history)."""
+        tests/bench history).
+
+        March shape: 256 candidates inside coarse-probe-tightened spans
+        (round-3 A/B, tools/perf_sweep.py on v5e: 512:0 = 39.4k rays/s /
+        29.17 dB train-view; 256:32 = 43.6k rays/s / 30.88 dB — faster
+        AND sharper, because the same candidate count concentrates inside
+        the occupied span; 192:64 lost 1.4 dB and is rejected)."""
         return replace(
-            self, model=replace(self.model, num_levels=8, level_dim=4,
-                                hash_variant="additive"))
+            self,
+            model=replace(self.model, num_levels=8, level_dim=4,
+                          hash_variant="additive"),
+            render=replace(self.render, march_candidates=256,
+                           coarse_probes=32))
 
     def with_pose_opt(self, mode: str, num_cameras: int) -> "Config":
         """Pose refinement rewires batching (reference main.py:160-172)."""

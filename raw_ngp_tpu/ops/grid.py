@@ -77,7 +77,10 @@ def make_grid_update(cfg: Config, spec, decay: float = 0.95):
     h3 = grid_size ** 3
     cascades = cfg.cascades
     bound = cfg.grid_bound
-    n_partial = h3 // 4
+    # cells per refresh half (reference: H^3/4 + H^3/4, renderer.py:855);
+    # rounded to a multiple of 2^15 so the lax.map chunking stays exact
+    n_partial = max(int(h3 * cfg.render.grid_partial_fraction)
+                    // 2 ** 15 * 2 ** 15, min(2 ** 15, h3 // 4))
 
     def query_sigma(params, xyz):
         return jax.lax.stop_gradient(

@@ -45,6 +45,18 @@ from raw_ngp_tpu.ops.morton import morton3d
 from raw_ngp_tpu.ops.rays import near_far_from_aabb
 
 
+def _floor_log2_p1(x):
+    """floor(log2(x)) + 1 for positive finite f32 via exponent-field
+    extraction: x = m * 2^E with m in [1, 2) has biased exponent E + 127
+    in bits 23-30, and floor(log2(x)) == E exactly for every positive
+    normal (subnormals round up to the 1e-12 clamp first). Replaces two
+    transcendental log2+floor passes per march candidate (~8.4M/step)
+    with integer bit math on the VPU."""
+    bits = jax.lax.bitcast_convert_type(
+        jnp.maximum(x, 1e-12).astype(jnp.float32), jnp.int32)
+    return (bits >> 23) - 126                               # int32
+
+
 def _mip_level(pos, dt, grid_size: int, cascades: int):
     """max(mip_from_pos, mip_from_dt) (raymarching.cu:42-54, 415).
 
@@ -52,10 +64,10 @@ def _mip_level(pos, dt, grid_size: int, cascades: int):
     [2^(e-1), 2^e) maps to e), clamped to [0, cascades-1].
     """
     mx = jnp.max(jnp.abs(pos), axis=-1)
-    lp = jnp.floor(jnp.log2(jnp.maximum(mx, 1e-12))) + 1.0
+    lp = _floor_log2_p1(mx)
     md = dt * grid_size * 0.5
-    ld = jnp.floor(jnp.log2(jnp.maximum(md, 1e-12))) + 1.0
-    level = jnp.maximum(jnp.maximum(lp, ld), 0.0)
+    ld = _floor_log2_p1(md)
+    level = jnp.maximum(jnp.maximum(lp, ld), 0)
     return jnp.minimum(level, cascades - 1).astype(jnp.int32)
 
 
@@ -78,7 +90,11 @@ def occupancy_lookup(bitfield, pos, dt, bound: float, contract: bool,
         cpos = jnp.where(mag > 1.0, pos * scale, pos)
 
     level = _mip_level(pos, dt, grid_size, cascades)        # [...]
-    mip_bound = jnp.minimum(2.0 ** level.astype(jnp.float32), bound)
+    # 2^level / 2^-level built directly in the exponent field (level is a
+    # small non-negative int; avoids a transcendental exp2 per candidate)
+    pow2 = jax.lax.bitcast_convert_type(
+        (level + 127) << 23, jnp.float32)
+    mip_bound = jnp.minimum(pow2, bound)
     mip_rbound = 1.0 / mip_bound
 
     # nearest grid cell (raymarching.cu:432-434)
@@ -334,21 +350,58 @@ def compaction_destinations(flat_keep, m_pad: int):
     return kept, dest, inv
 
 
+def _vrow_expand(packed, inv):
+    """``packed[inv]`` for a [R, D] buffer with small D, executed as
+    128-float vrow gathers + lane selection.
+
+    A [R, D] operand with D < 128 minor is tile-padded up to 32x by
+    XLA:TPU and [1, D] gather slices from it fall off the fast path
+    (60-800 ns/slice, CLAUDE.md layout rule). Viewing the buffer flat as
+    [*, 128] vrows (128/Dp slots each, D zero-padded to a power-of-two
+    Dp) makes each lookup one fast [1, 128] row gather (~4 ns); the
+    slot's D floats are selected with a lane mask and a [128/Dp]-fold
+    reduction — pure VPU work fused into the gather consumer."""
+    R, D = packed.shape
+    Dp = max(1 << (D - 1).bit_length(), 4)          # pow2 slot width >= 4
+    spv = 128 // Dp                                  # slots per vrow
+    shift = spv.bit_length() - 1
+    M = inv.shape[0]
+    pad_rows = (-R) % spv
+    buf = packed
+    if Dp != D:
+        buf = jnp.concatenate(
+            [buf, jnp.zeros((R, Dp - D), buf.dtype)], axis=1)
+    if pad_rows:
+        buf = jnp.concatenate(
+            [buf, jnp.zeros((pad_rows, Dp), buf.dtype)], axis=0)
+    vrows = buf.reshape(-1, 128)
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,))
+    rows = jax.lax.gather(vrows, (inv >> shift)[:, None], dn, (1, 128),
+                          mode=jax.lax.GatherScatterMode.CLIP)  # [M, 128]
+    slot = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) >> \
+        (Dp.bit_length() - 1)                        # lane -> slot id
+    sel = (slot == (inv & (spv - 1))[:, None]).astype(rows.dtype)
+    out = (rows * sel).reshape(M, spv, Dp).sum(axis=1)
+    return out[:, :D]
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def expand_from_slots(packed, inv, dest, m_pad: int):
     """Expand a packed [m_pad + 1, D] buffer back to flat samples via
     ``inv`` [M] (m_pad = dummy row).
 
-    The default autodiff transpose of this gather is a scatter-ADD at
-    ``inv`` (~42 ns/slice on TPU). Each real slot appears in ``inv``
-    exactly once, so the true gradient is a permutation — computed here
-    with the ~1 ns monotone sorted-unique scatter-set via ``dest``.
+    Forward rides vrow gathers (see _vrow_expand). The default autodiff
+    transpose of this gather is a scatter-ADD at ``inv`` (~42 ns/slice on
+    TPU). Each real slot appears in ``inv`` exactly once, so the true
+    gradient is a permutation — computed here with the ~1 ns monotone
+    sorted-unique scatter-set via ``dest``.
     """
-    return packed[inv]
+    return _vrow_expand(packed, inv)
 
 
 def _expand_fwd(packed, inv, dest, m_pad):
-    return packed[inv], (inv, dest, packed.shape)
+    return _vrow_expand(packed, inv), (inv, dest, packed.shape)
 
 
 def _expand_bwd(m_pad, res, g):

@@ -30,7 +30,11 @@ import numpy as np
 
 def run_variant(march_candidates: int, coarse_probes: int,
                 num_levels: int = 0, level_dim: int = 0,
-                iters: int = 472, timed: int = 200):
+                iters: int = 480, timed: int = 192):
+    # NOTE: both the warmup and the timed window must be MULTIPLES of the
+    # scan-dispatch chunk (update_extra_interval = 16): a remainder would
+    # compile the single-step executable inside the timed window (~45 s
+    # on the tunnel) and poison the measurement.
     import jax
     from raw_ngp_tpu.config import Config
     from raw_ngp_tpu.data import make_synthetic_scene

@@ -170,6 +170,47 @@ def micro():
     dt = timeit(jax.jit(lambda x: jnp.cumsum(x).sum()), v, n=10)
     print(f"  cumsum 16.7M f32: {dt*1e3:8.2f} ms ({dt/M*1e9:5.2f} ns/elem)")
 
+    print("== sort restructure: payload-sort vs iota-sort + 1-D gathers ==")
+    # table-grad backward carries 4 packed payloads through the sort;
+    # the alternative sorts (key, iota) and gathers payloads afterwards
+    keys = jax.random.randint(key, (Mp,), 0, 1 << 21, jnp.int32)
+    pls = [jax.random.randint(jax.random.fold_in(key, 900 + i), (Mp,),
+                              0, 1 << 30, jnp.int32).astype(jnp.uint32)
+           for i in range(4)]
+
+    def sort5(k, *ps):
+        return jax.lax.sort([k] + list(ps), num_keys=1)[0]
+
+    def sort2_gather(k, *ps):
+        k_s, perm = jax.lax.sort([k, jax.lax.iota(jnp.int32, Mp)],
+                                 num_keys=1)
+        tot = k_s.astype(jnp.uint32)
+        for p in ps:
+            tot = tot + p[perm]
+        return tot
+
+    for name, fn in [("sort key+4 payloads 8.4M", sort5),
+                     ("sort key+iota, 4x 1-D gather 8.4M", sort2_gather)]:
+        dt = timeit(jax.jit(fn), keys, *pls, n=5)
+        print(f"  {name}: {dt*1e3:8.2f} ms")
+
+    print("== expand gather: [1,4] from padded [R,4] vs 128-lane vrow ==")
+    Mx, Rr = 1 << 19, (1 << 18) + 1
+    packedv = jax.random.normal(key, (Rr, 4), jnp.float32)
+    invv = jax.random.randint(key, (Mx,), 0, Rr, jnp.int32)
+
+    def narrow(p, i):
+        return p[i].sum()
+
+    def vrow(p, i):
+        from raw_ngp_tpu.render.occupancy import _vrow_expand
+        return _vrow_expand(p, i).sum()
+
+    for name, fn in [("narrow packed[inv] x 524k", narrow),
+                     ("vrow expand x 524k", vrow)]:
+        dt = timeit(jax.jit(fn), packedv, invv, n=10)
+        print(f"  {name}: {dt*1e3:8.2f} ms ({dt/Mx*1e9:6.2f} ns/slice)")
+
 
 def step():
     import jax

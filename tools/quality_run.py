@@ -30,6 +30,13 @@ def main():
     ap.add_argument("--textured", action="store_true",
                     help="lat/long-checker albedo: a sharper PSNR "
                          "instrument than the flat bench scene")
+    ap.add_argument("--eps", type=float, default=0.0,
+                    help="override train.adam_eps (stability ladder A/Bs)")
+    ap.add_argument("--lr", type=float, default=0.0,
+                    help="override train.lr")
+    ap.add_argument("--levels", type=int, default=0,
+                    help="override model num_levels (with --level_dim)")
+    ap.add_argument("--level_dim", type=int, default=0)
     ap.add_argument("--out", default="/tmp/quality_run.json")
     args = ap.parse_args()
 
@@ -42,6 +49,13 @@ def main():
     # EXACTLY bench.py's flagship configuration + scene
     cfg = Config().with_preset_O().with_tpu_profile()
     cfg = replace(cfg, train=replace(cfg.train, fp16=True, num_rays=8192))
+    if args.eps:
+        cfg = replace(cfg, train=replace(cfg.train, adam_eps=args.eps))
+    if args.lr:
+        cfg = replace(cfg, train=replace(cfg.train, lr=args.lr))
+    if args.levels:
+        cfg = replace(cfg, model=replace(cfg.model, num_levels=args.levels,
+                                         level_dim=args.level_dim))
     cfg = cfg.validate()
     train_scene, val_scene = make_synthetic_scene(
         n_train=36, n_val=2, H=128, W=128, textured=args.textured)

@@ -136,13 +136,15 @@ class TrainConfig:
     # which goes edge-of-stability unstable once the fit is tight:
     # measured loss 3e-4 -> 0.11 IRRECOVERABLE collapse at step ~636 of
     # the flagship bench config, reproduced deterministically on TPU and
-    # CPU and independent of the backward implementation. eps=1e-8 at
-    # the same lr=1e-2 is stable (step-600-checkpoint A/B) but damps
-    # tail-row learning (~-1 dB held-out on the tiny occupancy config);
-    # 1e-10 restores full quality there while still regularizing the
-    # degenerate-v rows. See ROADMAP.md "Stability" for the escalation
-    # ladder if the 5k-step flagship curve ever collapses again.
-    adam_eps: float = 1e-10
+    # CPU and independent of the backward implementation. The eps ladder
+    # at flagship scale over 5k-step curves (tools/quality_run.py):
+    # 1e-15 collapses ~636, 1e-10 collapses ~1300 (and held-out stalls
+    # at 17), 1e-8 is stable through 5k AND generalizes ~3 dB better
+    # (train 36.3 / held-out 19.6-21.0 — damping the ~zero-gradient
+    # tail rows suppresses hash-collision noise on unseen views). The
+    # tiny-config result that 1e-8 costs 1 dB does NOT transfer to
+    # flagship scale. See ROADMAP.md "Stability".
+    adam_eps: float = 1e-8
     anneal_lr: bool = False           # main.py:120 (cosine restarts)
     num_rays: int = 4096              # main.py:59
     # TPU reformulation of the reference's adaptive ray batching
@@ -340,15 +342,17 @@ class Config:
         )
 
     def with_tpu_profile(self) -> "Config":
-        """TPU-optimized hash-grid shape: 8 levels x 4 channels instead of
+        """TPU-optimized hash-grid shape: 4 levels x 8 channels instead of
         the reference's 16 x 2 (same parameter count, same 32-wide MLP
-        input). XLA:TPU gather cost is per-SLICE and flat in slice width up
-        to 8 floats, so halving the level count halves the dominant
-        encode/gradient cost. The additive hash variant makes every level
-        2-row-window gatherable (kernels/hash_fused.py), halving gather and
-        sort volume again on the hashed levels. Quality measured at or
-        above the 16x2/xor layout on the synthetic benchmark scene (see
-        tests/bench history).
+        input). XLA:TPU gather cost is per-SLICE and flat in slice width
+        up to 8 floats, so each level-halving at constant L*C halves the
+        dominant encode-gather and table-gradient sort-record volume. The
+        additive hash variant makes every level 2-row-window gatherable
+        (kernels/hash_fused.py), halving gather and sort volume again on
+        the hashed levels. 5k-step curve A/B on v5e (tools/quality_run.py,
+        adam_eps 1e-8): 4x8 trains to 46.4 dB train-view / 25.3 held-out
+        vs 8x4's 36.3 / 19.6, at 54.8k vs 43.6k rays/s — the wider
+        per-level feature beats the finer level ladder on BOTH axes.
 
         March shape: 256 candidates inside coarse-probe-tightened spans
         (round-3 A/B, tools/perf_sweep.py on v5e: 512:0 = 39.4k rays/s /
@@ -357,7 +361,7 @@ class Config:
         the occupied span; 192:64 lost 1.4 dB and is rejected)."""
         return replace(
             self,
-            model=replace(self.model, num_levels=8, level_dim=4,
+            model=replace(self.model, num_levels=4, level_dim=8,
                           hash_variant="additive"),
             render=replace(self.render, march_candidates=256,
                            coarse_probes=32))

@@ -31,12 +31,16 @@ gather falls off the fast path. Channel selection + the window->level
 reduction then ride ONE fixed-tensor einsum on the MXU.
 
 Backward (replacing CUDA atomicAdd, gridencoder.cu:334-347): sort the
-window records by table row (values ride the sort as packed-bf16 u32
-payloads — pure bit arithmetic, f16 is not TPU-native), take exact
-per-row segment sums via 1-D cumsums, and write them with the monotone
-sorted-unique scatter-SET — the only scatter form XLA:TPU executes fast
-(scatter-ADD was measured 10-100x slower at this scale in every
-formulation, including slice updates).
+window records by table row. The payload is the FACTORED outer product —
+one (w0, w1) bf16-pair word plus ceil(C/2) words for the level's C
+g-channels (shared by both window rows) — so the sort moves 2 + ceil(C/2)
+operands instead of the 1 + C a premultiplied 2C-channel stream costs;
+the w ⊗ g product is reconstructed inside the placement kernel. Totals
+are placed by the streaming Pallas kernel (kernels/segsum_pallas.py) on
+TPU, or by 1-D segmented scans + the monotone sorted-unique scatter-SET
+on CPU — the only scatter form XLA:TPU executes fast (scatter-ADD was
+measured 10-100x slower at this scale in every formulation, including
+slice updates).
 
 Gradients wrt inputs (pose refinement path, gridencoder.cu:205-248 dy_dx)
 are requested with ``need_input_grads=True``; they recompute the window
@@ -440,18 +444,19 @@ def _window_bwd_table(spec, res, g):
     gT = g.astype(jnp.float32).T                            # [L*C, B]
     lvl_of_w = _level_of_window(spec)
 
-    # per-channel window-major record values, matching keys = base.reshape
-    # (M) (m = w*B + b)
-    chans = []
-    for wsel in (w0, w1):
-        for c in range(C):
-            chans.append(jnp.stack(
-                [wsel[w] * gT[lvl_of_w[w] * C + c] for w in range(P)]
-            ).reshape(M))
+    # outer-product payload, window-major (m = w*B + b): word 0 carries
+    # the record's (w0, w1) pair, words 1.. the C g-channels of the
+    # record's level — SHARED by both window rows, so the sorted stream
+    # rides 1 + ceil(C/2) payload words instead of the C words the
+    # premultiplied 2C channels would need (the w⊗g outer product is
+    # reconstructed inside the placement kernel / after the sort)
+    w_word = _pack_bf16_pairs([w0.reshape(M), w1.reshape(M)])[0]
+    g_chans = [jnp.stack([gT[lvl_of_w[w] * C + c] for w in range(P)]
+                         ).reshape(M) for c in range(C)]
+    g_words = _pack_bf16_pairs(g_chans)
 
     keys = base.reshape(M)
-    packed = _pack_bf16_pairs(chans)
-    sorted_ops = jax.lax.sort([keys] + packed, num_keys=1)
+    sorted_ops = jax.lax.sort([keys, w_word] + g_words, num_keys=1)
     keys_s = sorted_ops[0]
     if TABLE_GRAD_MODE == "sort":
         # keep the sort live (sum-of-sorted is order-invariant but XLA
@@ -464,10 +469,13 @@ def _window_bwd_table(spec, res, g):
             (probe * 1e-38).astype(params.dtype)).reshape(params.shape)
     if segsum_pallas.use_pallas_segsum():
         # streaming Pallas placement: exact f32 totals, no XLA scatter
-        totals = segsum_pallas.segment_totals_pallas(
-            keys_s, sorted_ops[1:], spec.n_params, 2 * C)
+        totals = segsum_pallas.segment_totals_outer_pallas(
+            keys_s, sorted_ops[1], sorted_ops[2:], spec.n_params, C)
     else:
-        val_channels = _unpack_bf16_pairs(sorted_ops[1:], 2 * C)
+        w0_s, w1_s = _unpack_bf16_pairs(sorted_ops[1:2], 2)
+        g_s = _unpack_bf16_pairs(sorted_ops[2:], C)
+        val_channels = ([w0_s * g for g in g_s]
+                        + [w1_s * g for g in g_s])
         totals = _segment_sum_sorted_scatter(keys_s, val_channels,
                                              spec.n_params)  # [n, 2C]
     g0, g1 = totals[:, :C], totals[:, C:]

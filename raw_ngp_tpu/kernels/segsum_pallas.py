@@ -51,7 +51,8 @@ _SENTINEL = 0x7F000000  # pad key: larger than any real row id
 
 
 def _kernel(starts_ref, ends_ref, keys_hbm, vals_hbm, out_ref,
-            kbuf, vbuf, sem, *, n_chan: int, n_packed: int, R: int):
+            kbuf, vbuf, sem, *, n_chan: int, n_packed: int, R: int,
+            outer_c: int):
     j = pl.program_id(0)
     t0 = starts_ref[j]
     n_t = ends_ref[j] - t0
@@ -90,11 +91,25 @@ def _kernel(starts_ref, ends_ref, keys_hbm, vals_hbm, out_ref,
         for a in range(8):
             # channel order matches _pack_bf16_pairs: (2p, 2p+1) ride
             # word p as (hi, lo)
-            rows = []
-            for p in range(n_packed):
-                rows.append(hi[p, a:a + 1, :])
-                rows.append(lo[p, a:a + 1, :])
-            vt = jnp.concatenate(rows[:n_chan], axis=0)  # (n_chan, 128)
+            if outer_c > 0:
+                # outer-product payload: word 0 = (w0, w1), words 1.. =
+                # the C g-channels shared by both window rows; the 2C
+                # premultiplied channels are reconstructed here so the
+                # sorted stream carries 1 + ceil(C/2) words instead of C
+                w0 = hi[0, a:a + 1, :]
+                w1 = lo[0, a:a + 1, :]
+                rows = []
+                for p in range(1, n_packed):
+                    rows.append(hi[p, a:a + 1, :])
+                    rows.append(lo[p, a:a + 1, :])
+                gmat = jnp.concatenate(rows[:outer_c], axis=0)  # (C, 128)
+                vt = jnp.concatenate([w0 * gmat, w1 * gmat], axis=0)
+            else:
+                rows = []
+                for p in range(n_packed):
+                    rows.append(hi[p, a:a + 1, :])
+                    rows.append(lo[p, a:a + 1, :])
+                vt = jnp.concatenate(rows[:n_chan], axis=0)  # (n_chan, 128)
             onehot = (iota_r == keys[a:a + 1, :]).astype(jnp.bfloat16)
             acc = acc + jax.lax.dot_general(
                 vt.astype(jnp.bfloat16), onehot,
@@ -106,9 +121,9 @@ def _kernel(starts_ref, ends_ref, keys_hbm, vals_hbm, out_ref,
         0, n_t, tile_body, jnp.zeros((n_chan, R), jnp.float32))
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
 def _segment_totals_impl(keys_sorted, packed_stack, n_rows: int,
-                         n_chan: int, interpret: bool):
+                         n_chan: int, interpret: bool, outer_c: int = 0):
     M = keys_sorted.shape[0]
     n_packed = packed_stack.shape[0]
     pad = (-M) % _TK
@@ -139,7 +154,8 @@ def _segment_totals_impl(keys_sorted, packed_stack, n_rows: int,
                         pltpu.SemaphoreType.DMA((2, 2))],
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, n_chan=n_chan, n_packed=n_packed, R=_R),
+        functools.partial(_kernel, n_chan=n_chan, n_packed=n_packed, R=_R,
+                          outer_c=outer_c),
         out_shape=jax.ShapeDtypeStruct((n_chan, n_blocks * _R),
                                        jnp.float32),
         grid_spec=grid_spec,
@@ -175,3 +191,20 @@ def segment_totals_pallas(keys_sorted, packed_vals, n_rows: int,
     """
     return _segment_totals_impl(keys_sorted, jnp.stack(packed_vals),
                                 n_rows, n_chan, FORCE_INTERPRET)
+
+
+def segment_totals_outer_pallas(keys_sorted, w_packed, g_packed,
+                                n_rows: int, c: int):
+    """Per-row totals of the OUTER-PRODUCT record stream w ⊗ g.
+
+    keys_sorted: [M] int32 ascending row ids in [0, n_rows).
+    w_packed: [M] uint32, (w0, w1) bf16 pair per record.
+    g_packed: list of [M] uint32, the record's C shared g-channels as
+      bf16 pairs (_pack_bf16_pairs order).
+    Returns [n_rows, 2*c] float32: columns [0, c) are per-row totals of
+    w0*g, columns [c, 2c) of w1*g — exactly what
+    kernels.hash_fused._window_bwd_table consumes, at 1 + ceil(c/2)
+    sorted payload words instead of c."""
+    stack = jnp.stack([w_packed] + list(g_packed))
+    return _segment_totals_impl(keys_sorted, stack, n_rows, 2 * c,
+                                FORCE_INTERPRET, outer_c=c)

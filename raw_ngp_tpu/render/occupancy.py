@@ -19,7 +19,11 @@ TPU formulation (static shapes end to end):
      over the mask + one scatter — the static-shape replacement for the
      two-pass atomic count/write;
   4. evaluate the field only on the [N, K] compacted samples and composite
-     with the masked cumsum kernel (ops/compositing.py).
+     with the masked cumsum kernel (ops/compositing.py). The cross-ray
+     compaction scatters only TWO columns — (t, ray id) — and rebuilds
+     positions/directions from one per-ray attribute row fetched by ray id
+     (gather_ray_rows), instead of compacting 6-9 precomputed xyz/dir/ldir
+     columns through the scalar scatter passes.
 
 Sample budget parity: the reference targets 2^18 points per step via
 adaptive ray counts (train_utils.py:563-564); here N_rays * K is the static
@@ -414,6 +418,38 @@ def _expand_bwd(m_pad, res, g):
 expand_from_slots.defvjp(_expand_fwd, _expand_bwd)
 
 
+@jax.custom_vjp
+def gather_ray_rows(buf, rid):
+    """``buf[rid]`` for a per-ray attribute buffer [N + 1, D] (last row =
+    sanitized dummy) indexed by an ASCENDING ray-id stream [m] (dropped
+    slots point at row N).
+
+    Forward rides the 128-float vrow gathers of :func:`_vrow_expand`.
+    The default autodiff transpose would be a scatter-ADD at duplicate
+    ray ids (the slow XLA:TPU path); because ``rid`` is non-decreasing
+    (compaction preserves ray-major sample order), the true gradient —
+    per-ray totals over each ray's samples — is a sorted segment sum,
+    computed with the same shift-mask scan + monotone scatter-SET engine
+    as the hash-table gradient."""
+    return _vrow_expand(buf, rid)
+
+
+def _gather_rows_fwd(buf, rid):
+    return _vrow_expand(buf, rid), (rid, buf.shape)
+
+
+def _gather_rows_bwd(res, g):
+    from raw_ngp_tpu.kernels.hash_fused import _segment_sum_sorted_scatter
+    rid, buf_shape = res
+    gf = g.astype(jnp.float32)
+    chans = [gf[:, d] for d in range(gf.shape[1])]
+    totals = _segment_sum_sorted_scatter(rid, chans, buf_shape[0])
+    return totals.astype(g.dtype), None
+
+
+gather_ray_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
+
+
 def compact_samples(mask, m_pad: int, *arrays):
     """Cross-ray stream compaction of per-sample arrays.
 
@@ -473,22 +509,29 @@ def render_occupancy(
     ts, deltas, mask = m["ts"], m["deltas"], m["mask"]
     mask = mask & ~miss
 
-    # sample positions INSIDE the differentiable graph (pose gradients flow
-    # through xyzs -> rays; the reference needs segment_csr for this,
-    # raymarching.py:319-329)
-    xyzs = rays_o[:, None, :] + rays_d[:, None, :] * ts[..., None]
-    xyzs = jnp.clip(xyzs, -cfg.render.bound, cfg.render.bound)
-    if cfg.render.contract:
-        from raw_ngp_tpu.ops.contraction import contract as contract_fn
-        xyzs = contract_fn(xyzs)
+    # sample positions are recomputed from (ray id, t) AFTER compaction
+    # (pose gradients flow through the gathered o/d rows -> rays; the
+    # reference needs segment_csr for this, raymarching.py:319-329); the
+    # full [N, K, 3] position tensor is only materialized where a
+    # consumer needs every candidate (orientation loss, no-compact path)
+    ratio = cfg.render.compact_ratio
+    need_full_xyzs = (ratio <= 0) or (
+        training and cfg.train.lambda_orientation > 0)
+    xyzs = None
+    if need_full_xyzs:
+        xyzs = rays_o[:, None, :] + rays_d[:, None, :] * ts[..., None]
+        xyzs = jnp.clip(xyzs, -cfg.render.bound, cfg.render.bound)
+        if cfg.render.contract:
+            from raw_ngp_tpu.ops.contraction import contract as contract_fn
+            xyzs = contract_fn(xyzs)
 
+    # lazy broadcasts (only materialized by the consumers that read them:
+    # the no-compact path and the orientation loss)
     dirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
     dirs_nk = jnp.broadcast_to(dirs[:, None, :], (N, K, 3))
     ld_nk = None
     if rays_ldir is not None:
         ld_nk = jnp.broadcast_to(rays_ldir[:, None, :], (N, K, 3))
-
-    ratio = cfg.render.compact_ratio
     if ratio > 0:
         # evaluate the field only on the packed valid samples — the static
         # equivalent of the reference's exact CSR compaction + 2^18-point
@@ -512,18 +555,44 @@ def render_occupancy(
         k_idx = jnp.cumsum(mask.astype(jnp.int32).T, axis=0).T - 1
         mask = mask & ((k_idx % stride) == 0)
         deltas = deltas * stride.astype(deltas.dtype)
-        packs = [xyzs, dirs_nk] + ([ld_nk] if ld_nk is not None else [])
-        mask, inv, dest, packed = compact_samples(mask, m_pad, *packs)
-        xyz_c, dirs_c = packed[0][:-1], packed[1][:-1]   # drop dummy row
-        ld_c = packed[2][:-1] if ld_nk is not None else None
-        # unfilled slots are zero rows; a zero direction NaNs the SH
-        # normalization and 0*NaN poisons the backward — give them a unit z
-        ez = jnp.array([0.0, 0.0, 1.0], dirs_c.dtype)
-        dnorm = jnp.linalg.norm(dirs_c, axis=-1, keepdims=True)
-        dirs_c = jnp.where(dnorm > 1e-8, dirs_c, ez)
-        if ld_c is not None:
-            lnorm = jnp.linalg.norm(ld_c, axis=-1, keepdims=True)
-            ld_c = jnp.where(lnorm > 1e-8, ld_c, ez)
+        # compact only (t, ray id) — 2 scatter columns instead of the 6-9
+        # a full xyz+dirs(+ldir) pack costs — and rebuild positions from
+        # ONE per-ray attribute row fetched by ray id (o + d*t is the
+        # identical fma the full tensor would run, so renders match
+        # bit-for-bit); dirs/ldir are per-ray broadcasts that never
+        # needed per-sample compaction at all
+        rows_nk = jnp.broadcast_to(
+            jnp.arange(N, dtype=jnp.int32)[:, None], (N, K))
+        mask, inv, dest, packed = compact_samples(
+            mask, m_pad, ts[..., None], rows_nk[..., None])
+        t_c = packed[0][:-1, 0]                          # [m_pad]
+        rid = packed[1][:-1, 0]                          # [m_pad] int32
+        # unfilled slots (zero rows of the packed buffer) point at the
+        # sanitized dummy ray row N: origin 0, unit-z direction — a zero
+        # direction NaNs the SH normalization and 0*NaN poisons the
+        # backward. The sentinel also keeps `rid` ASCENDING end to end,
+        # the contract gather_ray_rows' segment-sum backward relies on.
+        filled = jnp.arange(m_pad) < mask.sum()
+        rid = jnp.where(filled, rid, N)
+        ez = jnp.array([0.0, 0.0, 1.0], rays_d.dtype)
+        cols = [jnp.concatenate([rays_o, jnp.zeros((1, 3), rays_o.dtype)]),
+                jnp.concatenate([rays_d, ez[None]])]
+        if rays_ldir is not None:
+            cols.append(jnp.concatenate([rays_ldir, ez[None]]))
+        odl = gather_ray_rows(jnp.concatenate(cols, axis=1), rid)
+        o_c, d_c = odl[:, :3], odl[:, 3:6]
+        xyz_c = o_c + d_c * t_c[:, None]
+        xyz_c = jnp.clip(xyz_c, -cfg.render.bound, cfg.render.bound)
+        if cfg.render.contract:
+            from raw_ngp_tpu.ops.contraction import contract as contract_fn
+            xyz_c = contract_fn(xyz_c)
+        dnorm = jnp.linalg.norm(d_c, axis=-1, keepdims=True)
+        dirs_c = jnp.where(dnorm > 1e-8, d_c / dnorm, ez)
+        ld_c = None
+        if rays_ldir is not None:
+            l_c = odl[:, 6:9]
+            lnorm = jnp.linalg.norm(l_c, axis=-1, keepdims=True)
+            ld_c = jnp.where(lnorm > 1e-8, l_c, ez)   # zero-guard only
         sig_c, rgb_c = field_forward(params, spec, xyz_c, dirs_c, ld_c,
                                      annealing)
         # expand back (dummy row feeds dropped/invalid lanes); the custom

@@ -94,6 +94,13 @@ class RenderConfig:
     # effective sampling), or march_candidates can be halved at equal
     # effective resolution. 0 disables. Requires grid_size % 4 == 0.
     coarse_probes: int = 0
+    # distribute march candidates over OCCUPIED probe intervals only
+    # (inverse-CDF of the per-ray probe hits, render/occupancy.py
+    # cdf_candidates) instead of one contiguous tightened span — the
+    # closer analogue of DDA skipping; lets march_candidates shrink at
+    # equal effective density. Needs coarse_probes > 0; ignored when
+    # dt_gamma > 0 (the geometric schedule defines its own spacing).
+    march_cdf: bool = False
     # cross-ray sample compaction: evaluate the field only on a static
     # buffer of num_rays*K*compact_ratio points (the CSR equivalent of the
     # reference's exact compaction + adaptive_num_rays point budget,
@@ -354,17 +361,25 @@ class Config:
         vs 8x4's 36.3 / 19.6, at 54.8k vs 43.6k rays/s — the wider
         per-level feature beats the finer level ladder on BOTH axes.
 
-        March shape: 256 candidates inside coarse-probe-tightened spans
-        (round-3 A/B, tools/perf_sweep.py on v5e: 512:0 = 39.4k rays/s /
-        29.17 dB train-view; 256:32 = 43.6k rays/s / 30.88 dB — faster
-        AND sharper, because the same candidate count concentrates inside
-        the occupied span; 192:64 lost 1.4 dB and is rejected)."""
+        March shape: 128 candidates distributed over OCCUPIED probe
+        intervals only (march_cdf inverse-CDF placement,
+        render/occupancy.cdf_candidates). Round-3 A/B ladder
+        (tools/perf_sweep.py on v5e, 480 steps, train-view / held-out):
+        512:0 span = 39.4k rays/s, 29.17 dB; 256:32 span = 79.7k
+        (post pos-compaction), 29.79 / 17.58; 256:32 CDF = 79.5k,
+        29.84 / 17.61; **128:32 CDF = 90.4k rays/s, 30.06 / 23.64** —
+        fastest AND sharpest on both axes, because no candidates are
+        wasted on voids between occupied clusters. 5k-step curve
+        (tools/quality_run.py): train 44.5 dB, held-out 26.4 dB at
+        90.8k rays/s sustained — beats the 256:32 span flagship's
+        46.4 / 25.3 on the axis that matters (held-out) with no
+        collapse."""
         return replace(
             self,
             model=replace(self.model, num_levels=4, level_dim=8,
                           hash_variant="additive"),
-            render=replace(self.render, march_candidates=256,
-                           coarse_probes=32))
+            render=replace(self.render, march_candidates=128,
+                           coarse_probes=32, march_cdf=True))
 
     def with_pose_opt(self, mode: str, num_cameras: int) -> "Config":
         """Pose refinement rewires batching (reference main.py:160-172)."""

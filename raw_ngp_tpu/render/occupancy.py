@@ -20,10 +20,11 @@ TPU formulation (static shapes end to end):
      two-pass atomic count/write;
   4. evaluate the field only on the [N, K] compacted samples and composite
      with the masked cumsum kernel (ops/compositing.py). The cross-ray
-     compaction scatters only TWO columns — (t, ray id) — and rebuilds
-     positions/directions from one per-ray attribute row fetched by ray id
-     (gather_ray_rows), instead of compacting 6-9 precomputed xyz/dir/ldir
-     columns through the scalar scatter passes.
+     compaction scatters ONE int32 column — the flat source position
+     (compact_positions) — and *gathers* everything else from it: t from
+     the [N, K] grid, ray id as pos // K, and per-ray o/d/ldir rows by
+     ray id (gather_ray_rows). Gradients ride gathers too: the expand
+     backward fetches cotangent rows at pos instead of scattering them.
 
 Sample budget parity: the reference targets 2^18 points per step via
 adaptive ray counts (train_utils.py:563-564); here N_rays * K is the static
@@ -172,26 +173,24 @@ def _coarse_dilate_radius(bound: float, grid_size: int,
     return max(1, int(np.ceil(max_span / n_probes / (2.0 * cell0))))
 
 
-def coarse_spans(rays_o, rays_d, coarse_lin, nears, fars, bound: float,
-                 contract: bool, grid_size: int, cascades: int,
-                 n_probes: int):
-    """Tightened per-ray [near, far] from coarse occupancy probes.
+def _probe_occupancy(rays_o, rays_d, coarse_lin, nears, fars,
+                     bound: float, contract: bool, grid_size: int,
+                     cascades: int, n_probes: int):
+    """Per-ray probe-interval occupancy against the dilated coarse grid.
 
-    The static-shape analogue of the reference's DDA empty-space skipping
-    (raymarching.cu:446-460): instead of skipping cells mid-march, probe
-    a dilated coarse grid first and shrink the span the fine candidates
-    cover. Probes OR across EVERY cascade: a per-probe mip gate would
-    need the worst-case mip over the half-spacing neighborhood, not the
-    probe point's own mip — a probe sitting just outside the unit cube
-    (mip 1) can neighbor in-cube samples whose fine march tests cascade
-    0, and gating on the probe's mip dropped exactly those (measured:
-    rays grazing the |x|_inf = 1 shell rendered black). Testing extra
-    cascades only widens spans — conservative, never wrong. Rays with no
-    coarse hit collapse to an empty span at `far` (the fine march's
-    `t < far` guard then drops every candidate).
+    Splits [near, far] into ``n_probes`` uniform intervals, tests each
+    interval's center. Probes OR across EVERY cascade: a per-probe mip
+    gate would need the worst-case mip over the half-spacing
+    neighborhood, not the probe point's own mip — a probe sitting just
+    outside the unit cube (mip 1) can neighbor in-cube samples whose
+    fine march tests cascade 0, and gating on the probe's mip dropped
+    exactly those (measured: rays grazing the |x|_inf = 1 shell rendered
+    black). Testing extra cascades only widens spans — conservative,
+    never wrong.
+
+    Returns (occ [N, P] bool, t [N, P] probe centers, spacing [N, 1]).
     """
     hc = grid_size // 4
-    N = rays_o.shape[0]
     spacing = (fars - nears) / n_probes                     # [N, 1]
     steps = jnp.arange(n_probes, dtype=jnp.float32)[None, :] + 0.5
     t = nears + spacing * steps                             # [N, P]
@@ -219,7 +218,23 @@ def coarse_spans(rays_o, rays_d, coarse_lin, nears, fars, bound: float,
     if contract:
         occ = occ | (mag > 1.0)
     occ = occ & (t < fars)
+    return occ, t, spacing
 
+
+def coarse_spans(rays_o, rays_d, coarse_lin, nears, fars, bound: float,
+                 contract: bool, grid_size: int, cascades: int,
+                 n_probes: int):
+    """Tightened per-ray [near, far] from coarse occupancy probes.
+
+    The static-shape analogue of the reference's DDA empty-space skipping
+    (raymarching.cu:446-460): instead of skipping cells mid-march, probe
+    a dilated coarse grid first and shrink the span the fine candidates
+    cover. Rays with no coarse hit collapse to an empty span at `far`
+    (the fine march's `t < far` guard then drops every candidate).
+    """
+    occ, t, spacing = _probe_occupancy(
+        rays_o, rays_d, coarse_lin, nears, fars, bound, contract,
+        grid_size, cascades, n_probes)
     tin = jnp.min(jnp.where(occ, t, jnp.inf), axis=1, keepdims=True)
     tout = jnp.max(jnp.where(occ, t, -jnp.inf), axis=1, keepdims=True)
     near2 = jnp.maximum(nears, tin - spacing)
@@ -228,6 +243,54 @@ def coarse_spans(rays_o, rays_d, coarse_lin, nears, fars, bound: float,
     near2 = jnp.where(empty, fars, near2)
     far2 = jnp.where(empty, fars, far2)
     return near2, far2
+
+
+def cdf_candidates(rays_o, rays_d, coarse_lin, nears, fars, bound: float,
+                   contract: bool, grid_size: int, cascades: int,
+                   n_probes: int, num_candidates: int, jitter):
+    """Candidate times distributed over OCCUPIED probe intervals only.
+
+    Where :func:`coarse_spans` tightens to one contiguous [tin, tout] —
+    wasting candidates on voids BETWEEN occupied clusters — this inverts
+    the per-ray CDF of probe hits: the S candidates uniformly fill
+    exactly the union of occupied intervals, so effective sample density
+    is S / (occupied length) instead of S / (tout - tin). The closer
+    TPU analogue of the reference's DDA skipping (raymarching.cu:446-460),
+    which never spends steps inside empty coarse cells either.
+
+    Pure static-shape VPU math: the inverse CDF is an unrolled P-term
+    count of probes with cumulative count <= floor(u) (no per-candidate
+    searches, no [N, S, P] tensor materialized).
+
+    Returns (t_cand [N, S], dt [N, 1]): dt = occupied_length / S — each
+    candidate's Riemann width. Voids contribute no absorption (sigma = 0
+    there), matching the reference semantics where dt after a DDA skip
+    stays the local step, not the skipped distance. Empty rays (no probe
+    hit) collapse every candidate to `far` (dropped by the fine march's
+    `t < far` guard) with dt = 0.
+    """
+    occ, _, spacing = _probe_occupancy(
+        rays_o, rays_d, coarse_lin, nears, fars, bound, contract,
+        grid_size, cascades, n_probes)
+    # per-ray inclusive cumulative probe-hit count, P-major (the minor
+    # axis is the slow cumsum direction on TPU)
+    Wt = jnp.cumsum(occ.astype(jnp.int32).T, axis=0)        # [P, N]
+    w = Wt[-1][:, None].astype(jnp.float32)                 # [N, 1]
+    S = num_candidates
+    steps = jnp.arange(S, dtype=jnp.float32)[None, :]       # [1, S]
+    u = (steps + jitter) * (w / S)                          # [N, S)
+    j_occ = jnp.floor(u)                                    # occupied-interval ordinal
+    # probe index of the (j_occ+1)-th occupied interval: count probes
+    # whose cumulative count hasn't passed j_occ yet (unrolled over P —
+    # 32 fused [N, S] compares, no [N, S, P] intermediate)
+    j32 = j_occ.astype(jnp.int32)
+    p_idx = jnp.zeros(u.shape, jnp.int32)
+    for p in range(n_probes):
+        p_idx = p_idx + (Wt[p][:, None] <= j32).astype(jnp.int32)
+    frac = u - j_occ
+    t_cand = nears + (p_idx.astype(jnp.float32) + frac) * spacing
+    dt = spacing * w / S                                    # [N, 1]
+    return t_cand, dt
 
 
 def march_rays(
@@ -243,27 +306,37 @@ def march_rays(
     key=None,                   # jitter (perturb)
     dt_gamma: float = 0.0,
     coarse_probes: int = 0,
+    march_cdf: bool = False,
 ):
     """Candidate -> mask -> compact marching. Returns dict with
     ts [N, K], deltas [N, K], mask [N, K] (valid samples)."""
     N = rays_o.shape[0]
     S, K = num_candidates, samples_per_ray
 
-    if coarse_probes > 0:
-        coarse_lin = coarse_occupancy(
-            bitfield, grid_size, cascades,
-            _coarse_dilate_radius(bound, grid_size, coarse_probes))
-        nears, fars = coarse_spans(
-            rays_o, rays_d, coarse_lin, nears, fars, bound, contract,
-            grid_size, cascades, coarse_probes)
-
-    span = (fars - nears)                                   # [N, 1]
-    steps = jnp.arange(S, dtype=jnp.float32)[None, :]       # [1, S]
     if key is not None:
         jitter = jax.random.uniform(key, (N, 1))
     else:
         jitter = 0.5
-    if dt_gamma > 0.0:
+
+    use_cdf = march_cdf and coarse_probes > 0 and dt_gamma == 0.0
+    if coarse_probes > 0:
+        coarse_lin = coarse_occupancy(
+            bitfield, grid_size, cascades,
+            _coarse_dilate_radius(bound, grid_size, coarse_probes))
+        if use_cdf:
+            t_cand, dt = cdf_candidates(
+                rays_o, rays_d, coarse_lin, nears, fars, bound, contract,
+                grid_size, cascades, coarse_probes, S, jitter)
+        else:
+            nears, fars = coarse_spans(
+                rays_o, rays_d, coarse_lin, nears, fars, bound, contract,
+                grid_size, cascades, coarse_probes)
+
+    span = (fars - nears)                                   # [N, 1]
+    steps = jnp.arange(S, dtype=jnp.float32)[None, :]       # [1, S]
+    if use_cdf:
+        pass                                                # t_cand, dt set
+    elif dt_gamma > 0.0:
         # adaptive step growth (raymarching.cu:396-401,412): dt grows as
         # clamp(t * dt_gamma, dt_min, dt_max). In closed form the
         # candidate times follow t_i ~= near * (1 + dt_gamma)^i once
@@ -309,49 +382,46 @@ def march_rays(
     return {"ts": ts, "deltas": deltas, "mask": mask}
 
 
-def _sorted_compact(values, dest, m_pad: int):
-    """Scatter rows of ``values`` [M, D] into a strided [2*m_pad + 2, D]
-    buffer using per-column sorted-unique scalar scatter-sets (the only
-    scatter form XLA:TPU runs at ~1 ns/slice) and return the packed
-    [m_pad + 1, D] rows (last row = zero dummy).
+def compact_positions(mask, m_pad: int):
+    """Stream compaction reduced to its minimal artifact: the flat SOURCE
+    index of every kept sample.
 
-    ``dest`` must come from :func:`compaction_destinations`: kept sample
-    number c (1-based) writes row 2c, dropped samples write odd rows —
-    a genuinely NON-DECREASING index stream, so the indices_are_sorted
-    promise holds (dump-to-m_pad schemes interleave and violate it).
-    Duplicate writes land only on discarded odd rows.
+    The reference's CUDA march writes exactly-counted CSR buffers via
+    atomics (raymarching.cu:486-490); this is the static-shape equivalent,
+    but instead of scattering every per-sample attribute column through
+    the compaction, ONE int32 column — the flat source position — is
+    scattered, and every downstream attribute is *gathered* from it
+    (gathers run at ~4 ns/slice on XLA:TPU; each extra scatter column
+    costs ~3 ms at M = 512k).
+
+    The scatter uses the strided monotone scheme: kept sample number c
+    (1-based) writes row 2c of a [2*m_pad + 2] buffer, dropped samples
+    write odd rows — a genuinely NON-DECREASING unique index stream, the
+    only scatter form XLA:TPU runs at ~1 ns/slice (dump-to-m_pad schemes
+    interleave and violate sortedness).
+
+    Returns (kept [N, K], inv [M], pos [m_pad]):
+      kept: mask of the first m_pad valid samples;
+      inv [M]: packed row per flat sample for the gather-expand
+        (m_pad = dummy row for dropped samples);
+      pos [m_pad]: flat source index per packed row, ASCENDING; unfilled
+        rows hold the sentinel M.
     """
-    M, D = values.shape
-    dnums = jax.lax.ScatterDimensionNumbers(
-        update_window_dims=(), inserted_window_dims=(0,),
-        scatter_dims_to_operand_dims=(0,))
-    cols = []
-    for d in range(D):
-        z = jnp.zeros((2 * m_pad + 2,), values.dtype)
-        buf = jax.lax.scatter(
-            z, dest[:, None], values[:, d], dnums,
-            indices_are_sorted=True, unique_indices=True)
-        cols.append(buf[2::2])                            # [m_pad] kept rows
-    packed = jnp.stack(cols, axis=-1)                     # [m_pad, D]
-    return jnp.concatenate(
-        [packed, jnp.zeros((1, D), values.dtype)], axis=0)  # dummy row
-
-
-def compaction_destinations(flat_keep, m_pad: int):
-    """(kept, dest, inv) for the strided compaction scheme.
-
-    kept: the first m_pad true entries of flat_keep.
-    dest [M]: monotone scatter destinations (kept -> 2c, dropped -> 2c+1,
-    clamped at the top) into the [2*m_pad + 2] strided buffer.
-    inv [M]: packed row per flat sample for the gather-expand (m_pad =
-    dummy row for dropped/invalid samples).
-    """
-    c = jnp.cumsum(flat_keep.astype(jnp.int32))           # inclusive count
-    kept = flat_keep & (c <= m_pad)
+    flat = mask.reshape(-1)
+    M = flat.shape[0]
+    c = jnp.cumsum(flat.astype(jnp.int32))                # inclusive count
+    kept = flat & (c <= m_pad)
     dest = jnp.where(kept, 2 * c,
                      jnp.minimum(2 * c + 1, 2 * m_pad + 1))
     inv = jnp.where(kept, c - 1, m_pad)
-    return kept, dest, inv
+    dnums = jax.lax.ScatterDimensionNumbers(
+        update_window_dims=(), inserted_window_dims=(0,),
+        scatter_dims_to_operand_dims=(0,))
+    buf = jax.lax.scatter(
+        jnp.full((2 * m_pad + 2,), M, jnp.int32), dest[:, None],
+        jnp.arange(M, dtype=jnp.int32), dnums,
+        indices_are_sorted=True, unique_indices=True)
+    return kept.reshape(mask.shape), inv, buf[2::2]
 
 
 def _vrow_expand(packed, inv):
@@ -391,31 +461,78 @@ def _vrow_expand(packed, inv):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def expand_from_slots(packed, inv, dest, m_pad: int):
+def expand_from_slots(packed, inv, pos, m_pad: int):
     """Expand a packed [m_pad + 1, D] buffer back to flat samples via
     ``inv`` [M] (m_pad = dummy row).
 
     Forward rides vrow gathers (see _vrow_expand). The default autodiff
     transpose of this gather is a scatter-ADD at ``inv`` (~42 ns/slice on
-    TPU). Each real slot appears in ``inv`` exactly once, so the true
-    gradient is a permutation — computed here with the ~1 ns monotone
-    sorted-unique scatter-set via ``dest``.
+    TPU). Each real slot appears in ``inv`` exactly once at flat position
+    ``pos`` (compact_positions), so the true gradient is a permutation —
+    computed as a vrow GATHER of the cotangent rows at ``pos`` (~1 ms at
+    m_pad = 256k, vs ~3 ms per scatter column). Unfilled rows
+    (pos == M) and the dummy row get zero — callers append the dummy row
+    as a constant, so its cotangent is discarded anyway.
     """
     return _vrow_expand(packed, inv)
 
 
-def _expand_fwd(packed, inv, dest, m_pad):
-    return _vrow_expand(packed, inv), (inv, dest, packed.shape)
+def _expand_fwd(packed, inv, pos, m_pad):
+    return _vrow_expand(packed, inv), (inv, pos, packed.shape)
 
 
 def _expand_bwd(m_pad, res, g):
-    inv, dest, packed_shape = res
-    g2 = g.reshape(len(inv), -1)
-    g_packed = _sorted_compact(g2, dest, m_pad)
+    inv, pos, packed_shape = res
+    M = inv.shape[0]
+    g2 = g.reshape(M, -1)
+    rows = _vrow_expand(g2, jnp.minimum(pos, M - 1))      # [m_pad, D]
+    rows = jnp.where((pos < M)[:, None], rows, 0)
+    g_packed = jnp.concatenate(
+        [rows, jnp.zeros((1, g2.shape[1]), g2.dtype)], axis=0)
     return g_packed.reshape(packed_shape), None, None
 
 
 expand_from_slots.defvjp(_expand_fwd, _expand_bwd)
+
+
+def _gather_flat_impl(values, pos):
+    M = values.shape[0]
+    v = values[jnp.minimum(pos, M - 1)]
+    return jnp.where(pos < M, v, 0)
+
+
+@jax.custom_vjp
+def gather_flat_sorted(values, pos):
+    """``values[pos]`` for a flat [M] array at ASCENDING UNIQUE positions
+    [m_pad] (sentinel M for unfilled rows -> 0).
+
+    The default gather transpose is a scatter-ADD (no sortedness promise
+    -> the slow XLA:TPU path). ``pos`` is strictly ascending and unique
+    over the filled prefix, so the true transpose is a monotone
+    sorted-unique scatter-SET: unfilled rows are remapped to M + i
+    (still strictly ascending) and land past the real range."""
+    return _gather_flat_impl(values, pos)
+
+
+def _gather_flat_fwd(values, pos):
+    return _gather_flat_impl(values, pos), (pos, values.shape[0])
+
+
+def _gather_flat_bwd(res, g):
+    pos, M = res
+    m_pad = pos.shape[0]
+    dest = jnp.where(pos < M, pos,
+                     M + jnp.arange(m_pad, dtype=pos.dtype))
+    dnums = jax.lax.ScatterDimensionNumbers(
+        update_window_dims=(), inserted_window_dims=(0,),
+        scatter_dims_to_operand_dims=(0,))
+    buf = jax.lax.scatter(
+        jnp.zeros((M + m_pad,), g.dtype), dest[:, None], g, dnums,
+        indices_are_sorted=True, unique_indices=True)
+    return buf[:M], None
+
+
+gather_flat_sorted.defvjp(_gather_flat_fwd, _gather_flat_bwd)
 
 
 @jax.custom_vjp
@@ -448,25 +565,6 @@ def _gather_rows_bwd(res, g):
 
 
 gather_ray_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
-
-
-def compact_samples(mask, m_pad: int, *arrays):
-    """Cross-ray stream compaction of per-sample arrays.
-
-    The reference's CUDA march writes exactly-counted CSR buffers via
-    atomics (raymarching.cu:486-490); this is the static-shape equivalent:
-    the first ``m_pad`` valid samples (flat ray-major order) are packed
-    into [m_pad, D] buffers; the rest are dropped (their mask turns off,
-    the analogue of the reference's max-step clamping).
-
-    Returns (kept_mask, inv [M], dest [M], [compacted arrays...]);
-    compacted arrays are [m_pad + 1, D] with a zero dummy last row.
-    """
-    flat = mask.reshape(-1)
-    kept, dest, inv = compaction_destinations(flat, m_pad)
-    outs = [_sorted_compact(a.reshape(len(flat), -1), dest, m_pad)
-            for a in arrays]
-    return kept.reshape(mask.shape), inv, dest, outs
 
 
 def render_occupancy(
@@ -505,7 +603,8 @@ def render_occupancy(
                    cfg.render.bound, cfg.render.contract,
                    cfg.render.grid_size, cfg.cascades, S, K, key=key,
                    dt_gamma=cfg.render.dt_gamma,
-                   coarse_probes=cfg.render.coarse_probes)
+                   coarse_probes=cfg.render.coarse_probes,
+                   march_cdf=cfg.render.march_cdf)
     ts, deltas, mask = m["ts"], m["deltas"], m["mask"]
     mask = mask & ~miss
 
@@ -555,25 +654,24 @@ def render_occupancy(
         k_idx = jnp.cumsum(mask.astype(jnp.int32).T, axis=0).T - 1
         mask = mask & ((k_idx % stride) == 0)
         deltas = deltas * stride.astype(deltas.dtype)
-        # compact only (t, ray id) — 2 scatter columns instead of the 6-9
-        # a full xyz+dirs(+ldir) pack costs — and rebuild positions from
-        # ONE per-ray attribute row fetched by ray id (o + d*t is the
-        # identical fma the full tensor would run, so renders match
-        # bit-for-bit); dirs/ldir are per-ray broadcasts that never
-        # needed per-sample compaction at all
-        rows_nk = jnp.broadcast_to(
-            jnp.arange(N, dtype=jnp.int32)[:, None], (N, K))
-        mask, inv, dest, packed = compact_samples(
-            mask, m_pad, ts[..., None], rows_nk[..., None])
-        t_c = packed[0][:-1, 0]                          # [m_pad]
-        rid = packed[1][:-1, 0]                          # [m_pad] int32
-        # unfilled slots (zero rows of the packed buffer) point at the
-        # sanitized dummy ray row N: origin 0, unit-z direction — a zero
-        # direction NaNs the SH normalization and 0*NaN poisons the
-        # backward. The sentinel also keeps `rid` ASCENDING end to end,
-        # the contract gather_ray_rows' segment-sum backward relies on.
-        filled = jnp.arange(m_pad) < mask.sum()
-        rid = jnp.where(filled, rid, N)
+        # compact ONE int32 column — the flat source position — and
+        # gather everything else from it: t from the [N, K] grid
+        # (gather_flat_sorted keeps the transpose on the fast scatter-SET
+        # path for the pose-gradient case), ray id derived as pos // K,
+        # and o/d/ldir from one per-ray attribute row fetched by ray id
+        # (o + d*t is the identical fma the full tensor would run, so
+        # renders match bit-for-bit); dirs/ldir are per-ray broadcasts
+        # that never needed per-sample compaction at all
+        mask, inv, pos = compact_positions(mask, m_pad)
+        M = N * K
+        t_c = gather_flat_sorted(ts.reshape(-1), pos)    # [m_pad]
+        # unfilled slots (sentinel pos == M) point at the sanitized dummy
+        # ray row N: origin 0, unit-z direction — a zero direction NaNs
+        # the SH normalization and 0*NaN poisons the backward. The
+        # sentinel also keeps `rid` ASCENDING end to end, the contract
+        # gather_ray_rows' segment-sum backward relies on.
+        filled = pos < M
+        rid = jnp.where(filled, jnp.minimum(pos, M - 1) // K, N)
         ez = jnp.array([0.0, 0.0, 1.0], rays_d.dtype)
         cols = [jnp.concatenate([rays_o, jnp.zeros((1, 3), rays_o.dtype)]),
                 jnp.concatenate([rays_d, ez[None]])]
@@ -600,7 +698,7 @@ def render_occupancy(
         sig_rgb = jnp.concatenate([sig_c[:, None], rgb_c], axis=-1)
         padded = jnp.concatenate(
             [sig_rgb, jnp.zeros((1, 4), sig_rgb.dtype)], axis=0)
-        out_flat = expand_from_slots(padded, inv, dest, m_pad)
+        out_flat = expand_from_slots(padded, inv, pos, m_pad)
         sigmas = out_flat[:, 0].reshape(N, K)
         rgbs = out_flat[:, 1:].reshape(N, K, 3)
     else:
@@ -648,7 +746,7 @@ def render_occupancy(
             n_pad = jnp.concatenate(
                 [n_c, jnp.zeros((1, 3), n_c.dtype)], axis=0)
             normals_nk = expand_from_slots(
-                n_pad, inv, dest, m_pad).reshape(N, K, 3)
+                n_pad, inv, pos, m_pad).reshape(N, K, 3)
         else:
             normals_nk = field_normals(
                 params, spec, xyzs.reshape(-1, 3), annealing

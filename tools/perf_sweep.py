@@ -13,8 +13,8 @@ study.
 
 Usage (real TPU, ~6 min per variant with a warm compile cache):
   python tools/perf_sweep.py                     # default grid
-  python tools/perf_sweep.py --variants 512:0 256:32 256:64
-    (march_candidates:coarse_probes pairs)
+  python tools/perf_sweep.py --variants 512:0 256:32 128:32:cdf
+    (march_candidates:coarse_probes[:levels:chans][:cdf])
 
 Writes /tmp/perf_sweep.json.
 """
@@ -30,7 +30,8 @@ import numpy as np
 
 def run_variant(march_candidates: int, coarse_probes: int,
                 num_levels: int = 0, level_dim: int = 0,
-                iters: int = 480, timed: int = 192):
+                iters: int = 480, timed: int = 192,
+                march_cdf: bool = False):
     # NOTE: both the warmup and the timed window must be MULTIPLES of the
     # scan-dispatch chunk (update_extra_interval = 16): a remainder would
     # compile the single-step executable inside the timed window (~45 s
@@ -45,7 +46,7 @@ def run_variant(march_candidates: int, coarse_probes: int,
     cfg = replace(cfg, train=replace(cfg.train, fp16=True, num_rays=8192))
     cfg = replace(cfg, render=replace(
         cfg.render, march_candidates=march_candidates,
-        coarse_probes=coarse_probes))
+        coarse_probes=coarse_probes, march_cdf=march_cdf))
     if num_levels:
         # ROADMAP path 4: an L x C reshape at constant L*C halves the
         # sort/segsum record count M per level halving (8 levels x C4 ->
@@ -56,7 +57,8 @@ def run_variant(march_candidates: int, coarse_probes: int,
     train_scene, val_scene = make_synthetic_scene(n_train=36, n_val=2,
                                                   H=128, W=128)
     tr = Trainer(cfg, train_scene, val_scene,
-                 workspace=f"/tmp/sweep_ws_{march_candidates}_{coarse_probes}")
+                 workspace=f"/tmp/sweep_ws_{march_candidates}_{coarse_probes}"
+                           f"{'_cdf' if march_cdf else ''}")
     tr.train(iters=iters - timed, log_every=10 ** 9)    # warmup + fit
     r = tr.train(iters=timed, log_every=10 ** 9)        # timed window
 
@@ -68,6 +70,7 @@ def run_variant(march_candidates: int, coarse_probes: int,
     return {
         "march_candidates": march_candidates,
         "coarse_probes": coarse_probes,
+        "march_cdf": march_cdf,
         "rays_per_sec": round(r["rays_per_sec"], 1),
         "ms_per_step": round(1e3 * r["wall_time"] / timed, 1),
         "psnr_trainview": round(-10.0 * np.log10(mse + 1e-12), 3),
@@ -87,11 +90,13 @@ def main():
 
     results = []
     for v in args.variants:
-        parts = [int(x) for x in v.split(":")]
+        toks = v.split(":")
+        cdf = toks[-1] == "cdf"
+        parts = [int(x) for x in (toks[:-1] if cdf else toks)]
         mc, cp = parts[0], parts[1]
         L, C = (parts[2], parts[3]) if len(parts) > 2 else (0, 0)
         t0 = time.time()
-        rec = run_variant(mc, cp, L, C)
+        rec = run_variant(mc, cp, L, C, march_cdf=cdf)
         if L:
             rec["levels_x_chans"] = f"{L}x{C}"
         rec["wall_s"] = round(time.time() - t0, 1)

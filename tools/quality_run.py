@@ -37,6 +37,9 @@ def main():
     ap.add_argument("--levels", type=int, default=0,
                     help="override model num_levels (with --level_dim)")
     ap.add_argument("--level_dim", type=int, default=0)
+    ap.add_argument("--march", default="",
+                    help="override march shape, mc:cp[:cdf] "
+                         "(e.g. 128:32:cdf)")
     ap.add_argument("--out", default="/tmp/quality_run.json")
     args = ap.parse_args()
 
@@ -56,6 +59,13 @@ def main():
     if args.levels:
         cfg = replace(cfg, model=replace(cfg.model, num_levels=args.levels,
                                          level_dim=args.level_dim))
+    if args.march:
+        toks = args.march.split(":")
+        cdf = toks[-1] == "cdf"
+        mc, cp = int(toks[0]), int(toks[1])
+        cfg = replace(cfg, render=replace(
+            cfg.render, march_candidates=mc, coarse_probes=cp,
+            march_cdf=cdf))
     cfg = cfg.validate()
     train_scene, val_scene = make_synthetic_scene(
         n_train=36, n_val=2, H=128, W=128, textured=args.textured)

@@ -116,24 +116,39 @@ def make_grid_update(cfg: Config, spec, decay: float = 0.95):
         k_rand, k_occ, k_noise = jax.random.split(key, 3)
         cas_bound = min(2 ** cas, bound)
         half = cas_bound / grid_size
-        # random half
-        rand_idx = jax.random.randint(
-            k_rand, (n_partial,), 0, h3).astype(jnp.uint32)
-        # occupancy-biased half: inverse-CDF over the occupied mask
-        occ_mask = (density_grid[cas] > 0).astype(jnp.float32)
-        cdf = jnp.cumsum(occ_mask)
-        total = cdf[-1]
-        u = jax.random.uniform(k_occ, (n_partial,)) * jnp.maximum(total,
-                                                                  1.0)
-        occ_idx = jnp.clip(jnp.searchsorted(cdf, u, side="left"),
-                           0, h3 - 1).astype(jnp.uint32)
-        # when nothing is occupied yet fall back to random cells
-        occ_idx = jnp.where(total > 0, occ_idx, rand_idx)
+        # random half, sorted so its result scatter-SET runs on the fast
+        # monotone path (duplicates are fine for SET: same cell, same
+        # refresh)
+        rand_idx = jax.lax.sort(jax.random.randint(
+            k_rand, (n_partial,), 0, h3).astype(jnp.uint32))
+        # occupied half: EVERY occupied cell when they fit the budget
+        # (deterministic full coverage beats sampling); over budget,
+        # stride-decimate the occupied ordinals with a random phase.
+        # Replaces the inverse-CDF searchsorted (a 21-step binary search
+        # per sample — ~40 ms at 512k samples over a 2M-cell CDF) with
+        # one cumsum + one monotone scatter, and comes out ALREADY
+        # sorted, so the full-stream 1M-id sort disappears too.
+        occ = density_grid[cas] > 0                       # [h3]
+        c = jnp.cumsum(occ.astype(jnp.int32))             # inclusive count
+        total = c[-1]
+        stride = jnp.maximum((total + n_partial - 1) // n_partial, 1)
+        phase = jax.random.randint(k_occ, (), 0, 1 << 30) % stride
+        keep = occ & ((c - 1) % stride == phase)
+        ck = jnp.cumsum(keep.astype(jnp.int32))
+        kept = keep & (ck <= n_partial)
+        dest = jnp.where(kept, 2 * ck,
+                         jnp.minimum(2 * ck + 1, 2 * n_partial + 1))
+        dnums = jax.lax.ScatterDimensionNumbers(
+            update_window_dims=(), inserted_window_dims=(0,),
+            scatter_dims_to_operand_dims=(0,))
+        buf = jax.lax.scatter(
+            jnp.full((2 * n_partial + 2,), h3, jnp.int32), dest[:, None],
+            jax.lax.iota(jnp.int32, h3), dnums,
+            indices_are_sorted=True, unique_indices=True)
+        # unfilled slots re-query the last cell (stays sorted; harmless
+        # duplicate SET) — also covers the nothing-occupied-yet case
+        occ_idx = jnp.minimum(buf[2::2], h3 - 1).astype(jnp.uint32)
         idx = jnp.concatenate([rand_idx, occ_idx])
-        # sort cell ids so the result scatter-SET below runs on XLA:TPU's
-        # fast monotone path (~1 ns/slice) instead of the ~40 ns general
-        # scatter; duplicates are fine for SET (same cell, same refresh)
-        idx = jax.lax.sort(idx)
         coords = morton3d_invert(idx)
         xyz = _cascade_coords_to_world(coords, cas_bound, half,
                                        grid_size, k_noise)
@@ -142,8 +157,11 @@ def make_grid_update(cfg: Config, spec, decay: float = 0.95):
         S = min(2 ** 16, 2 * n_partial)
         sig = jax.lax.map(lambda c: query_sigma(params, c),
                           xyz.reshape(-1, S, 3)).reshape(-1)
-        tmp = tmp.at[cas, idx.astype(jnp.int32)].set(
-            sig, indices_are_sorted=True)
+        # two monotone scatters (each half is sorted; their concat is not)
+        tmp = tmp.at[cas, rand_idx.astype(jnp.int32)].set(
+            sig[:n_partial], indices_are_sorted=True)
+        tmp = tmp.at[cas, occ_idx.astype(jnp.int32)].set(
+            sig[n_partial:], indices_are_sorted=True)
         return tmp
 
     density_thresh = cfg.render.density_thresh

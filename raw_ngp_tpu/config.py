@@ -349,17 +349,22 @@ class Config:
         )
 
     def with_tpu_profile(self) -> "Config":
-        """TPU-optimized hash-grid shape: 4 levels x 8 channels instead of
+        """TPU-optimized hash-grid shape: 2 levels x 16 channels instead of
         the reference's 16 x 2 (same parameter count, same 32-wide MLP
         input). XLA:TPU gather cost is per-SLICE and flat in slice width
-        up to 8 floats, so each level-halving at constant L*C halves the
+        up to a vrow, so each level-halving at constant L*C halves the
         dominant encode-gather and table-gradient sort-record volume. The
         additive hash variant makes every level 2-row-window gatherable
         (kernels/hash_fused.py), halving gather and sort volume again on
-        the hashed levels. 5k-step curve A/B on v5e (tools/quality_run.py,
-        adam_eps 1e-8): 4x8 trains to 46.4 dB train-view / 25.3 held-out
-        vs 8x4's 36.3 / 19.6, at 54.8k vs 43.6k rays/s — the wider
-        per-level feature beats the finer level ladder on BOTH axes.
+        the hashed levels. Grid-shape ladder, 5k-step curves on v5e
+        (tools/quality_run.py, train-view / held-out dB):
+        8x4 = 36.3 / 19.6 @ 43.6k rays/s; 4x8 = 44.5 / 26.4 @ 90.8k;
+        **2x16 = 35.4 / 33.6 @ 132.6k** on the flat bench scene, and on
+        the high-frequency textured scene 2x16 = 31.5 / 30.0 vs 4x8's
+        38.3 / 23.6 — every halving of the level ladder at constant
+        params trades train-view overfit for held-out generalization
+        AND speed. Held-out PSNR is the product metric (reference
+        debug/eval.py protocol), so 2x16 ships.
 
         March shape: 128 candidates distributed over OCCUPIED probe
         intervals only (march_cdf inverse-CDF placement,
@@ -367,16 +372,14 @@ class Config:
         (tools/perf_sweep.py on v5e, 480 steps, train-view / held-out):
         512:0 span = 39.4k rays/s, 29.17 dB; 256:32 span = 79.7k
         (post pos-compaction), 29.79 / 17.58; 256:32 CDF = 79.5k,
-        29.84 / 17.61; **128:32 CDF = 90.4k rays/s, 30.06 / 23.64** —
+        29.84 / 17.61; 128:32 CDF = 90.4k rays/s, 30.06 / 23.64 —
         fastest AND sharpest on both axes, because no candidates are
-        wasted on voids between occupied clusters. 5k-step curve
-        (tools/quality_run.py): train 44.5 dB, held-out 26.4 dB at
-        90.8k rays/s sustained — beats the 256:32 span flagship's
-        46.4 / 25.3 on the axis that matters (held-out) with no
-        collapse."""
+        wasted on voids between occupied clusters. With the 2x16 grid
+        the same 128:32 CDF march reads 123.4k rays/s, 27.9 / 30.5
+        at 480 steps (tools/perf_sweep.py --variants 128:32:2:16:cdf)."""
         return replace(
             self,
-            model=replace(self.model, num_levels=4, level_dim=8,
+            model=replace(self.model, num_levels=2, level_dim=16,
                           hash_variant="additive"),
             render=replace(self.render, march_candidates=128,
                            coarse_probes=32, march_cdf=True))

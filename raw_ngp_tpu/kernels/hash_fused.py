@@ -429,12 +429,68 @@ def _segment_sum_sorted_scatter(keys_sorted, val_channels, n_rows: int):
 TABLE_GRAD_MODE = "full"
 
 
+def _chunked_sort_on() -> bool:
+    """Per-level chunked sorts (RAW_NGP_CHUNKED_SORT=1): L sorts of M/L
+    records with level-local keys instead of one global M-record sort —
+    ~17% less bitonic compare depth at L=4 plus smaller working sets.
+    Measure-then-adopt knob; the global sort is the default."""
+    import os
+    return os.environ.get("RAW_NGP_CHUNKED_SORT", "0") == "1"
+
+
+def _window_bwd_table_chunked(spec, res, g):
+    """Per-level variant of :func:`_window_bwd_table`: each level's
+    records (a contiguous window slice, level-major ordering) sort and
+    place independently into the level's own row range."""
+    params, x01, base, w0, w1 = res
+    C = spec.level_dim
+    gT = g.astype(jnp.float32).T                            # [L*C, B]
+    lvl_of_w = _level_of_window(spec)
+    P, B = base.shape
+
+    totals = []
+    w_lo = 0
+    for lv in range(spec.num_levels):
+        w_hi = w_lo
+        while w_hi < P and lvl_of_w[w_hi] == lv:
+            w_hi += 1
+        nw = w_hi - w_lo
+        Ml = nw * B
+        off = int(spec.offsets[lv])
+        rows_l = int(spec.offsets[lv + 1]) - off
+        keys_l = (base[w_lo:w_hi].reshape(Ml)
+                  - jnp.uint32(off)).astype(jnp.int32)
+        w_word = _pack_bf16_pairs([w0[w_lo:w_hi].reshape(Ml),
+                                   w1[w_lo:w_hi].reshape(Ml)])[0]
+        g_chans = [jnp.broadcast_to(gT[lv * C + c], (nw, B)).reshape(Ml)
+                   for c in range(C)]
+        g_words = _pack_bf16_pairs(g_chans)
+        sorted_ops = jax.lax.sort([keys_l, w_word] + g_words, num_keys=1)
+        if segsum_pallas.use_pallas_segsum():
+            t_l = segsum_pallas.segment_totals_outer_pallas(
+                sorted_ops[0], sorted_ops[1], sorted_ops[2:], rows_l, C)
+        else:
+            w0_s, w1_s = _unpack_bf16_pairs(sorted_ops[1:2], 2)
+            g_s = _unpack_bf16_pairs(sorted_ops[2:], C)
+            t_l = _segment_sum_sorted_scatter(
+                sorted_ops[0], [w0_s * x for x in g_s]
+                + [w1_s * x for x in g_s], rows_l)
+        totals.append(t_l)
+        w_lo = w_hi
+    totals = jnp.concatenate(totals, axis=0)                # [n_params, 2C]
+    g0, g1 = totals[:, :C], totals[:, C:]
+    grad = g0 + jnp.concatenate([jnp.zeros_like(g1[:1]), g1[:-1]], axis=0)
+    return grad.reshape(params.shape).astype(params.dtype)
+
+
 def _window_bwd_table(spec, res, g):
     """Table gradient through the window scheme: sort window records,
     segment-sum 2C channels, combine G0 + shift(G1) into the flat table."""
     params, x01, base, w0, w1 = res
     if TABLE_GRAD_MODE == "zero":
         return jnp.zeros_like(params)
+    if TABLE_GRAD_MODE == "full" and _chunked_sort_on():
+        return _window_bwd_table_chunked(spec, res, g)
     P, B = base.shape
     C = spec.level_dim
     M = P * B

@@ -29,8 +29,10 @@ def _train_and_render():
     # (additive hash, fused encoder), deterministic, fp32 for hermetic
     # cross-platform stability, grid refresh firing in the loop
     cfg = Config().with_preset_O().with_tpu_profile()
+    # num_levels / level_dim inherit from the profile so this golden
+    # tracks the shipped flagship grid shape
     cfg = replace(cfg, model=replace(
-        cfg.model, num_levels=4, log2_hashmap_size=12,
+        cfg.model, log2_hashmap_size=12,
         hashgrid_resolution=64, grid_mlp_hidden=16, view_mlp_hidden=16))
     cfg = replace(cfg, render=replace(
         cfg.render, grid_size=32, samples_per_ray=24, march_candidates=96,

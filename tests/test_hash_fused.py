@@ -94,11 +94,12 @@ def test_grad_under_jit_and_vmap_composition(spec):
     assert float(jnp.abs(g).sum()) > 0
 
 
-@pytest.mark.parametrize("level_dim", [4, 8])
+@pytest.mark.parametrize("level_dim", [4, 8, 16])
 def test_wide_channel_layouts_match_reference(level_dim):
-    """C=4 is the shipped TPU profile; C=8 is the ROADMAP L4xC8
-    record-halving candidate (tools/perf_sweep.py) — pin both fused
-    paths (forward + table gradient) against the oracle."""
+    """C=16 is the shipped flagship TPU profile (L2xC16,
+    config.with_tpu_profile); C=4/C=8 are earlier profile shapes still
+    reachable via tools/perf_sweep.py — pin all fused paths (forward +
+    table gradient) against the oracle."""
     spec = HashGridSpec.create(input_dim=3, num_levels=4,
                                level_dim=level_dim, base_resolution=4,
                                log2_hashmap_size=9, desired_resolution=32,

@@ -50,7 +50,7 @@ def _run(keys, chans, n_rows):
     return np.asarray(out)
 
 
-@pytest.mark.parametrize("n_chan", [2, 4, 8])
+@pytest.mark.parametrize("n_chan", [2, 4, 8, 16])
 def test_random_stream(n_chan):
     rng = np.random.default_rng(0)
     M, n_rows = 4096, 1400          # 3 blocks, partial last block

@@ -88,6 +88,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="two-level march: probes per ray against the 4^3 "
                         "max-pooled occupancy before fine candidates "
                         "(0 = off)")
+    p.add_argument("--march_cdf", action="store_true",
+                   help="distribute fine candidates over the occupied "
+                        "coarse probe intervals only (needs "
+                        "--coarse_probes > 0)")
+    p.add_argument("--tpu_profile", action="store_true",
+                   help="apply the TPU-optimized flagship profile on top "
+                        "of the chosen preset (L2xC16 grid, CDF march; "
+                        "the configuration bench.py measures)")
 
     # batch size
     p.add_argument("--num_rays", type=int, default=4096)
@@ -206,6 +214,7 @@ def args_to_config(args) :
             samples_per_ray=args.samples_per_ray,
             march_candidates=args.march_candidates,
             coarse_probes=args.coarse_probes,
+            march_cdf=args.march_cdf,
             num_steps=tuple(args.num_steps), dt_gamma=args.dt_gamma,
             background=args.background,
             update_extra_interval=args.update_extra_interval,
@@ -261,6 +270,8 @@ def args_to_config(args) :
         cfg = cfg.with_preset_O()
     elif args.O2:
         cfg = cfg.with_preset_O2()
+    if args.tpu_profile:
+        cfg = cfg.with_tpu_profile()
     size_over = {k: getattr(args, k) for k in
                  ("num_levels", "level_dim", "grid_mlp_hidden",
                   "view_mlp_hidden") if getattr(args, k)}

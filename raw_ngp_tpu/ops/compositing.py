@@ -80,6 +80,89 @@ def composite_rays(
     }
 
 
+def _segmented_inclusive_scan(rid, chans):
+    """Inclusive segmented prefix sums of 1-D f32 channels grouped by the
+    NON-DECREASING segment-id stream ``rid`` (Hillis-Steele shift-mask
+    scan: log2(M) masked shifted adds over 1-D arrays — the same engine
+    as the hash-table gradient's segment totals, kernels/hash_fused.py).
+    Values only ever add WITHIN a segment, so there is no cross-segment
+    cancellation (a global cumsum + per-segment base subtraction would
+    lose the small segments' precision to the large ones' magnitude)."""
+    M = rid.shape[0]
+    vs = [c.astype(jnp.float32) for c in chans]
+    s = 1
+    while s < M:
+        same = rid[s:] == rid[:-s]
+        vs = [jnp.concatenate([v[:s], v[s:] + jnp.where(same, v[:-s], 0.0)])
+              for v in vs]
+        s <<= 1
+    return vs
+
+
+def composite_rays_compacted(
+    sigmas,        # [M] density per compacted sample
+    rgbs,          # [M, 3] radiance per compacted sample
+    ts,            # [M] sample distance along its ray
+    deltas,        # [M] step size per sample
+    rid,           # [M] int32 ray id, NON-DECREASING (dummy id >= N for
+                   #     unfilled slots; compaction is ray-major)
+    filled,        # [M] bool: slot holds a real sample
+    counts,        # [N] int32 samples per ray in the compacted stream
+    num_rays: int,
+    t_thresh: float = 0.0,
+):
+    """Alpha-composite directly on the compacted ray-major sample stream.
+
+    Mathematically identical to expanding back to the padded [N, K] grid
+    and calling :func:`composite_rays` (same per-ray sample order, same
+    shifted-exclusive-cumsum transmittance, reference semantics
+    raymarching.cu:520-597) — but it never materializes the [N, K]
+    tensors: the expand gathers, their transpose, and the [N, K]
+    composite math on dead lanes all disappear. Per-ray outputs are read
+    by GATHERING each ray's inclusive prefix at its last sample (the
+    end index follows from ``counts``), so the whole composite is
+    1-D scans + one [N]-row gather — no scatter at all.
+
+    Returns dict with weights_sum [N], depth [N], image [N, 3] (no
+    per-sample ``weights`` — callers needing them use the expand path).
+    """
+    sig = jnp.where(filled, sigmas.astype(jnp.float32), 0.0)
+    dt = jnp.where(filled, deltas.astype(jnp.float32), 0.0)
+    sdelta = sig * dt
+    (incl,) = _segmented_inclusive_scan(rid, [sdelta])
+    # within-segment EXCLUSIVE prefix: shift by one, zero at segment
+    # starts (a shift, never `incl - sdelta`: inf - inf would NaN)
+    prev_same = jnp.concatenate(
+        [jnp.zeros((1,), jnp.bool_), rid[1:] == rid[:-1]])
+    excl = jnp.where(
+        prev_same,
+        jnp.concatenate([jnp.zeros((1,), jnp.float32), incl[:-1]]), 0.0)
+    trans_before = jnp.exp(-excl)
+    alphas = 1.0 - jnp.exp(-sdelta)
+    weights = alphas * trans_before
+    if t_thresh > 0.0:
+        weights = jnp.where(trans_before >= t_thresh, weights, 0.0)
+    weights = jnp.nan_to_num(weights, nan=0.0)
+    weights = jnp.where(filled, weights, 0.0)
+
+    rgbs = rgbs.astype(jnp.float32)
+    chans = [weights * rgbs[:, 0], weights * rgbs[:, 1],
+             weights * rgbs[:, 2], weights * ts.astype(jnp.float32),
+             weights]
+    prefs = _segmented_inclusive_scan(rid, chans)
+    # gather each ray's totals at its last sample; empty rays -> 0
+    M = rid.shape[0]
+    end = jnp.cumsum(counts) - 1                        # [N]
+    valid = counts > 0
+    end = jnp.clip(end, 0, M - 1)
+    outs = [jnp.where(valid, p[end], 0.0) for p in prefs]
+    return {
+        "image": jnp.stack(outs[:3], axis=-1),
+        "depth": outs[3],
+        "weights_sum": outs[4],
+    }
+
+
 def composite_with_background(image, weights_sum, bg_color):
     """image + (1 - acc) * bg (reference renderer.py:507, 672)."""
     if isinstance(bg_color, (int, float)):

@@ -359,6 +359,19 @@ def march_rays(
                               bound, contract, grid_size, cascades)
     occ = occ & (t_cand < fars)                             # guard padding
 
+    if S == K:
+        # candidates ARE the sample slots: no within-ray packing needed,
+        # so the [N, K+1] compaction scatter (the march's second-largest
+        # cost) disappears; dead candidates just mask out. With the
+        # CDF candidate distribution the candidates already concentrate
+        # inside coarse-occupied intervals, so slot waste stays low.
+        ts = jnp.where(occ, t_cand, -1.0)
+        if dt_gamma > 0.0:
+            deltas = jnp.where(occ, jnp.broadcast_to(dt, (N, S)), 0.0)
+        else:
+            deltas = jnp.broadcast_to(dt, (N, K))
+        return {"ts": ts, "deltas": deltas, "mask": occ}
+
     # stream compaction: slot of each occupied candidate within its ray.
     # The per-ray scan runs along the MAJOR axis in [S, N] form (minor-
     # axis cumsums scan within vector lanes, ~30x slower on TPU).
@@ -693,6 +706,30 @@ def render_occupancy(
             ld_c = jnp.where(lnorm > 1e-8, l_c, ez)   # zero-guard only
         sig_c, rgb_c = field_forward(params, spec, xyz_c, dirs_c, ld_c,
                                      annealing)
+        if not (need_full_xyzs or compute_normals):
+            # composite DIRECTLY on the compacted ray-major stream
+            # (ops/compositing.composite_rays_compacted): the expand
+            # gathers, their transpose, and the [N, K] composite math on
+            # dead lanes all disappear. Only consumers of per-sample
+            # [N, K] weights (orientation loss, normal maps) still take
+            # the expand path below.
+            from raw_ngp_tpu.ops.compositing import composite_rays_compacted
+            dt_c = gather_flat_sorted(
+                jnp.broadcast_to(deltas, (N, K)).reshape(-1).astype(
+                    jnp.float32), pos)
+            counts = mask.sum(axis=-1)
+            out = composite_rays_compacted(
+                sig_c, rgb_c, t_c, dt_c, rid, filled, counts, N,
+                t_thresh=cfg.render.t_thresh)
+            results = {}
+            if training:
+                results["num_points"] = mask.sum()
+            image = composite_with_background(
+                out["image"], out["weights_sum"], bg_color)
+            results["weights_sum"] = out["weights_sum"]
+            results["depth"] = out["depth"]
+            results["image"] = image
+            return results
         # expand back (dummy row feeds dropped/invalid lanes); the custom
         # VJP keeps the transpose on the fast sorted-scatter path
         sig_rgb = jnp.concatenate([sig_c[:, None], rgb_c], axis=-1)

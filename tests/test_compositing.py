@@ -160,3 +160,69 @@ def test_distortion_loss_matches_quadratic_form():
         total += (wv[n][:, None] * wv[n][None, :] * pair).sum()
         total += (wv[n] ** 2 * iv[n]).sum() / 3
     np.testing.assert_allclose(got, total / N, rtol=1e-4)
+
+
+def test_compacted_composite_matches_padded():
+    """composite_rays_compacted on the ray-major compacted stream must
+    reproduce composite_rays on the padded [N, K] grid (the stream is
+    built exactly like render_occupancy: compact_positions + gathers),
+    including empty rays, truncation to m_pad, and the t_thresh mask."""
+    from raw_ngp_tpu.ops.compositing import composite_rays_compacted
+    from raw_ngp_tpu.render.occupancy import (
+        compact_positions,
+        gather_flat_sorted,
+    )
+
+    rng = np.random.default_rng(7)
+    N, K = 24, 16
+    m_pad = 128                          # forces truncation of some rays
+    sigmas = rng.uniform(0, 5, (N, K)).astype(np.float32)
+    rgbs = rng.uniform(0, 1, (N, K, 3)).astype(np.float32)
+    ts = np.cumsum(rng.uniform(0.01, 0.1, (N, K)), axis=1).astype(
+        np.float32)
+    deltas = rng.uniform(0.01, 0.1, (N, K)).astype(np.float32)
+    mask = rng.uniform(size=(N, K)) > 0.4
+    mask[3] = False                      # an empty ray
+    mask[7] = True                       # a full ray
+
+    kept, inv, pos = compact_positions(jnp.asarray(mask), m_pad)
+    ref = composite_rays(jnp.asarray(sigmas), jnp.asarray(rgbs),
+                         jnp.asarray(ts), jnp.asarray(deltas),
+                         kept, t_thresh=1e-4)
+
+    filled = pos < N * K
+    rid = jnp.where(filled, jnp.minimum(pos, N * K - 1) // K, N)
+    sig_c = gather_flat_sorted(jnp.asarray(sigmas).reshape(-1), pos)
+    t_c = gather_flat_sorted(jnp.asarray(ts).reshape(-1), pos)
+    dt_c = gather_flat_sorted(jnp.asarray(deltas).reshape(-1), pos)
+    rgb_c = jnp.stack([gather_flat_sorted(
+        jnp.asarray(rgbs[..., c]).reshape(-1), pos) for c in range(3)],
+        axis=-1)
+    counts = jnp.asarray(kept).sum(axis=-1)
+    out = composite_rays_compacted(sig_c, rgb_c, t_c, dt_c, rid, filled,
+                                   counts, N, t_thresh=1e-4)
+    np.testing.assert_allclose(np.asarray(out["weights_sum"]),
+                               np.asarray(ref["weights_sum"]), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out["depth"]),
+                               np.asarray(ref["depth"]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out["image"]),
+                               np.asarray(ref["image"]), atol=1e-4)
+
+    # gradients: same loss through both paths -> same input cotangents
+    def loss_pad(s):
+        o = composite_rays(s, jnp.asarray(rgbs), jnp.asarray(ts),
+                           jnp.asarray(deltas), kept, t_thresh=1e-4)
+        return (o["image"].sum() + o["depth"].sum()
+                + o["weights_sum"].sum())
+
+    def loss_cmp(s):
+        sc = gather_flat_sorted(s.reshape(-1), pos)
+        o = composite_rays_compacted(sc, rgb_c, t_c, dt_c, rid, filled,
+                                     counts, N, t_thresh=1e-4)
+        return (o["image"].sum() + o["depth"].sum()
+                + o["weights_sum"].sum())
+
+    g_pad = jax.grad(loss_pad)(jnp.asarray(sigmas))
+    g_cmp = jax.grad(loss_cmp)(jnp.asarray(sigmas))
+    np.testing.assert_allclose(np.asarray(g_cmp), np.asarray(g_pad),
+                               atol=2e-4)

@@ -150,8 +150,16 @@ class TrainConfig:
     # (train 36.3 / held-out 19.6-21.0 — damping the ~zero-gradient
     # tail rows suppresses hash-collision noise on unseen views). The
     # tiny-config result that 1e-8 costs 1 dB does NOT transfer to
-    # flagship scale. See ROADMAP.md "Stability".
-    adam_eps: float = 1e-8
+    # flagship scale. Round-3 follow-up: 1e-8's stability is MARGINAL —
+    # bit-level reassociation changes (a different sort chunking, a
+    # reassociated composite) flip nearby configs (96-candidate march,
+    # the compacted composite) into the same irrecoverable collapse.
+    # The 1500-step flagship ladder (tools/quality_run.py, EMA eval):
+    # 1e-8/lr 1e-2 = COLLAPSE (4.5 / -8.6 dB), 1e-8/lr 5e-3 = 31.9/29.7,
+    # **1e-7/lr 1e-2 = 36.2/34.8** — 1e-7 both stabilizes robustly and
+    # generalizes best, consistent with tail-row damping suppressing
+    # hash-collision noise. See ROADMAP.md "Stability".
+    adam_eps: float = 1e-7
     anneal_lr: bool = False           # main.py:120 (cosine restarts)
     num_rays: int = 4096              # main.py:59
     # TPU reformulation of the reference's adaptive ray batching

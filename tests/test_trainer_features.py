@@ -148,3 +148,75 @@ def test_adaptive_num_rays_grows(tmp_path):
     base_budget = max(int(128 * cfg.render.samples_per_ray
                           * cfg.render.compact_ratio) // 128 * 128, 128)
     assert tr._point_budget is None or tr._point_budget < base_budget
+
+
+def test_fused_adam_ema_matches_optax_chain():
+    """fused_adam_ema must reproduce optax.chain(skip_nonfinite, adam) +
+    apply_updates + the per-step EMA map bit-close on finite-grad steps
+    (schedule/bias-correction indexing included). Overflow steps freeze
+    params and moments (the reference GradScaler skips optimizer.step()
+    outright, train_utils.py:897-909), so the reference chain here gets
+    the same freeze applied manually for comparison."""
+    import optax
+    from dataclasses import replace as dc_replace
+    from raw_ngp_tpu.config import Config
+    from raw_ngp_tpu.train.trainer import (
+        fused_adam_ema,
+        network_lr_schedule,
+        skip_nonfinite,
+    )
+
+    cfg = Config().validate()
+    cfg = dc_replace(cfg, train=dc_replace(cfg.train, adam_eps=1e-7))
+    key = jax.random.PRNGKey(0)
+    params = {"a": jax.random.normal(key, (64, 3)),
+              "b": {"w": jax.random.normal(jax.random.fold_in(key, 1),
+                                           (7,))}}
+    ema = jax.tree.map(jnp.copy, params)
+
+    ref_tx = optax.chain(
+        skip_nonfinite(),
+        optax.adam(learning_rate=network_lr_schedule(cfg),
+                   eps=cfg.train.adam_eps))
+    ref_state = ref_tx.init(params)
+    ref_params, ref_ema = params, ema
+
+    fused = fused_adam_ema(cfg)
+    f_state = fused.init(params)
+    f_params, f_ema = params, ema
+
+    d = cfg.train.ema_decay
+    for i in range(5):
+        g = jax.tree.map(
+            lambda p: jax.random.normal(jax.random.fold_in(key, 100 + i),
+                                        p.shape), ref_params)
+        upd, ref_state = ref_tx.update(g, ref_state, ref_params)
+        ref_params = optax.apply_updates(ref_params, upd)
+        ref_ema = jax.tree.map(lambda e, p: d * e + (1 - d) * p,
+                               ref_ema, ref_params)
+        f_params, f_ema, f_state = fused.update_apply(
+            g, f_state, f_params, f_ema)
+
+    for ka, (r, f) in zip(
+            ("a", "b.w"),
+            [(ref_params["a"], f_params["a"]),
+             (ref_params["b"]["w"], f_params["b"]["w"])]):
+        np.testing.assert_allclose(np.asarray(f), np.asarray(r),
+                                   rtol=1e-5, atol=1e-7, err_msg=ka)
+    np.testing.assert_allclose(np.asarray(f_ema["a"]),
+                               np.asarray(ref_ema["a"]),
+                               rtol=1e-5, atol=1e-7)
+
+    # overflow step: params and moments freeze (GradScaler step-skip,
+    # train_utils.py:897-909); count still advances; EMA keeps decaying
+    g_inf = jax.tree.map(
+        lambda p: jnp.full(p.shape, jnp.inf, p.dtype), f_params)
+    p3, e3, s3 = fused.update_apply(g_inf, f_state, f_params, f_ema)
+    np.testing.assert_array_equal(np.asarray(p3["a"]),
+                                  np.asarray(f_params["a"]))
+    np.testing.assert_array_equal(np.asarray(s3.mu["a"]),
+                                  np.asarray(f_state.mu["a"]))
+    np.testing.assert_array_equal(np.asarray(s3.nu["a"]),
+                                  np.asarray(f_state.nu["a"]))
+    assert int(s3.count) == int(f_state.count) + 1
+    assert np.all(np.isfinite(np.asarray(e3["a"])))

@@ -374,22 +374,25 @@ class Config:
         AND speed. Held-out PSNR is the product metric (reference
         debug/eval.py protocol), so 2x16 ships.
 
-        March shape: 128 candidates distributed over OCCUPIED probe
-        intervals only (march_cdf inverse-CDF placement,
-        render/occupancy.cdf_candidates). Round-3 A/B ladder
-        (tools/perf_sweep.py on v5e, 480 steps, train-view / held-out):
-        512:0 span = 39.4k rays/s, 29.17 dB; 256:32 span = 79.7k
-        (post pos-compaction), 29.79 / 17.58; 256:32 CDF = 79.5k,
-        29.84 / 17.61; 128:32 CDF = 90.4k rays/s, 30.06 / 23.64 —
-        fastest AND sharpest on both axes, because no candidates are
-        wasted on voids between occupied clusters. With the 2x16 grid
-        the same 128:32 CDF march reads 123.4k rays/s, 27.9 / 30.5
-        at 480 steps (tools/perf_sweep.py --variants 128:32:2:16:cdf)."""
+        March shape: S == K == 64 candidates distributed over OCCUPIED
+        probe intervals only (march_cdf inverse-CDF placement,
+        render/occupancy.cdf_candidates). S == K means every candidate
+        IS a sample slot, so the march's [N, K+1] compaction scatter
+        disappears entirely (march_rays fast path). Round-3c ladder
+        under the stable eps-1e-7 optimizer (tools/perf_sweep.py, 480
+        steps, EMA eval, train-view / held-out): 128:32 CDF K64 =
+        33.09 / 29.12 @ ~54.6 ms; 96:96 CDF K96 r1/3 = 31.28 / 30.89 @
+        48.7 ms; **64:32 CDF K64 = 32.32 / 32.84 @ ~46 ms** — the
+        fewer-but-denser candidates LEAD held-out (the product metric)
+        while being fastest. 5k-step curves match: 64:32 = 37.9 train /
+        34.9-35.4 held-out vs 128:32's 37.6 / 35.5 (earlier round-3b
+        sweeps that showed a held-out penalty for 64:32 were measuring
+        the eps-1e-8 instability, not the sampling)."""
         return replace(
             self,
             model=replace(self.model, num_levels=2, level_dim=16,
                           hash_variant="additive"),
-            render=replace(self.render, march_candidates=128,
+            render=replace(self.render, march_candidates=64,
                            coarse_probes=32, march_cdf=True))
 
     def with_pose_opt(self, mode: str, num_cameras: int) -> "Config":

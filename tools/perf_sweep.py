@@ -31,7 +31,8 @@ import numpy as np
 def run_variant(march_candidates: int, coarse_probes: int,
                 num_levels: int = 0, level_dim: int = 0,
                 iters: int = 480, timed: int = 192,
-                march_cdf: bool = False):
+                march_cdf: bool = False, samples_per_ray: int = 0,
+                compact_ratio: float = 0.0):
     # NOTE: both the warmup and the timed window must be MULTIPLES of the
     # scan-dispatch chunk (update_extra_interval = 16): a remainder would
     # compile the single-step executable inside the timed window (~45 s
@@ -47,6 +48,13 @@ def run_variant(march_candidates: int, coarse_probes: int,
     cfg = replace(cfg, render=replace(
         cfg.render, march_candidates=march_candidates,
         coarse_probes=coarse_probes, march_cdf=march_cdf))
+    if samples_per_ray:
+        # K (and optionally the compaction ratio) change together so a
+        # variant can hold the 2^18-points-per-step budget: e.g.
+        # K=S=96 with ratio 1/3 keeps 8192 * 96 / 3 = 262144
+        cfg = replace(cfg, render=replace(
+            cfg.render, samples_per_ray=samples_per_ray,
+            compact_ratio=compact_ratio or cfg.render.compact_ratio))
     if num_levels:
         # ROADMAP path 4: an L x C reshape at constant L*C halves the
         # sort/segsum record count M per level halving (8 levels x C4 ->
@@ -91,12 +99,19 @@ def main():
     results = []
     for v in args.variants:
         toks = v.split(":")
-        cdf = toks[-1] == "cdf"
-        parts = [int(x) for x in (toks[:-1] if cdf else toks)]
+        cdf = "cdf" in toks
+        K = next((int(t[1:]) for t in toks if t.startswith("k")), 0)
+        ratio = next((float(t[1:]) for t in toks if t.startswith("r")), 0.0)
+        parts = [int(t) for t in toks
+                 if t not in ("cdf",) and not t.startswith(("k", "r"))]
         mc, cp = parts[0], parts[1]
         L, C = (parts[2], parts[3]) if len(parts) > 2 else (0, 0)
         t0 = time.time()
-        rec = run_variant(mc, cp, L, C, march_cdf=cdf)
+        rec = run_variant(mc, cp, L, C, march_cdf=cdf,
+                          samples_per_ray=K, compact_ratio=ratio)
+        if K:
+            rec["samples_per_ray"] = K
+            rec["compact_ratio"] = ratio
         if L:
             rec["levels_x_chans"] = f"{L}x{C}"
         rec["wall_s"] = round(time.time() - t0, 1)

@@ -212,7 +212,7 @@ def micro():
         print(f"  {name}: {dt*1e3:8.2f} ms ({dt/Mx*1e9:6.2f} ns/slice)")
 
 
-def step():
+def step(num_rays: int = 8192):
     import jax
     import jax.numpy as jnp
     from dataclasses import replace
@@ -223,7 +223,8 @@ def step():
     from raw_ngp_tpu.train.trainer import make_loss_fn
 
     cfg = Config().with_preset_O().with_tpu_profile()
-    cfg = replace(cfg, train=replace(cfg.train, fp16=True, num_rays=8192))
+    cfg = replace(cfg, train=replace(cfg.train, fp16=True,
+                                     num_rays=num_rays))
     cfg = cfg.validate()
     train_scene, val_scene = make_synthetic_scene(n_train=36, n_val=2,
                                                   H=128, W=128)
@@ -406,5 +407,11 @@ def loop():
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("mode", choices=["micro", "step", "loop", "bisect"])
+    ap.add_argument("--rays", type=int, default=8192,
+                    help="num_rays for step mode (bench runs 16384 after "
+                         "adaptive growth)")
     a = ap.parse_args()
-    {"micro": micro, "step": step, "loop": loop, "bisect": bisect}[a.mode]()
+    if a.mode == "step":
+        step(a.rays)
+    else:
+        {"micro": micro, "loop": loop, "bisect": bisect}[a.mode]()

@@ -440,6 +440,18 @@ def _chunked_sort_on() -> bool:
     return os.environ.get("RAW_NGP_CHUNKED_SORT", "1") == "1"
 
 
+def _iota_sort_on() -> bool:
+    """RAW_NGP_IOTA_SORT=1: sort only (key, iota, w-word) and GATHER the
+    g-channel payload words post-sort via the permutation — the g words
+    depend only on the record's point index b (they are per-point, not
+    per-window), so a [B]-length word array + one 1-D gather per word
+    replaces ceil(C/2) full sort operands. Trades bitonic payload
+    traffic for Ml-sized 1-D gathers; measure-then-adopt knob (queued:
+    ROADMAP round-3c next-targets #4)."""
+    import os
+    return os.environ.get("RAW_NGP_IOTA_SORT", "0") == "1"
+
+
 def _window_bwd_table_chunked(spec, res, g):
     """Per-level variant of :func:`_window_bwd_table`: each level's
     records (a contiguous window slice, level-major ordering) sort and
@@ -464,10 +476,19 @@ def _window_bwd_table_chunked(spec, res, g):
                   - jnp.uint32(off)).astype(jnp.int32)
         w_word = _pack_bf16_pairs([w0[w_lo:w_hi].reshape(Ml),
                                    w1[w_lo:w_hi].reshape(Ml)])[0]
-        g_chans = [jnp.broadcast_to(gT[lv * C + c], (nw, B)).reshape(Ml)
-                   for c in range(C)]
-        g_words = _pack_bf16_pairs(g_chans)
-        sorted_ops = jax.lax.sort([keys_l, w_word] + g_words, num_keys=1)
+        if _iota_sort_on():
+            keys_s, perm, w_word_s = jax.lax.sort(
+                [keys_l, jax.lax.iota(jnp.int32, Ml), w_word], num_keys=1)
+            b_s = perm % B          # g words are per-POINT, not per-window
+            g_words_B = _pack_bf16_pairs(
+                [gT[lv * C + c] for c in range(C)])        # each [B]
+            sorted_ops = [keys_s, w_word_s] + [gw[b_s] for gw in g_words_B]
+        else:
+            g_chans = [jnp.broadcast_to(gT[lv * C + c], (nw, B)).reshape(Ml)
+                       for c in range(C)]
+            g_words = _pack_bf16_pairs(g_chans)
+            sorted_ops = jax.lax.sort(
+                [keys_l, w_word] + g_words, num_keys=1)
         if segsum_pallas.use_pallas_segsum():
             t_l = segsum_pallas.segment_totals_outer_pallas(
                 sorted_ops[0], sorted_ops[1], sorted_ops[2:], rows_l, C)

@@ -121,3 +121,32 @@ def test_wide_channel_layouts_match_reference(level_dim):
     scale = np.abs(np.asarray(g_ref)).max()
     np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
                                rtol=3e-2, atol=1e-2 * scale)
+
+
+def test_iota_sort_backward_matches_default(monkeypatch):
+    """RAW_NGP_IOTA_SORT=1 (permutation-gather payloads) must produce the
+    same table gradient as the default payload-carrying sort (both ride
+    the chunked per-level path; totals are order-invariant sums, so only
+    bf16 packing noise may differ)."""
+    spec = HashGridSpec.create(num_levels=2, level_dim=16,
+                               log2_hashmap_size=12,
+                               desired_resolution=256,
+                               hash_variant="additive")
+    key = jax.random.PRNGKey(11)
+    params = init_hashgrid_params(key, spec).reshape(-1)
+    x = jax.random.uniform(jax.random.fold_in(key, 1), (4096, 3))
+    gout = jax.random.normal(jax.random.fold_in(key, 2),
+                             (4096, spec.num_levels * spec.level_dim))
+
+    def table_grad():
+        # fresh trace per env value: the knob is read at trace time
+        return jax.jit(jax.grad(lambda p: (hash_encode_fused(
+            p, x, spec, False, jnp.float32) * gout).sum()))(params)
+
+    monkeypatch.setenv("RAW_NGP_CHUNKED_SORT", "1")
+    monkeypatch.setenv("RAW_NGP_IOTA_SORT", "0")
+    g_def = np.asarray(table_grad())
+    monkeypatch.setenv("RAW_NGP_IOTA_SORT", "1")
+    g_iota = np.asarray(table_grad())
+    scale = np.abs(g_def).max() + 1e-12
+    np.testing.assert_allclose(g_iota, g_def, atol=2e-2 * scale)

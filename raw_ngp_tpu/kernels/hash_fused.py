@@ -65,6 +65,39 @@ from raw_ngp_tpu.ops.hashgrid import (
 )
 
 
+def _matmul_level(spec: HashGridSpec, lv: int) -> bool:
+    """Whether this level is evaluated as a separable MXU contraction
+    instead of vrow gathers (see :func:`_mm_forward`). Requires: dense
+    (no hashing — the contraction is exact trilinear over the full
+    level), 3-D input, and shapes that keep every operand's minor dim
+    >= 128 lanes (CLAUDE.md layout rule) while the [B, res^2] weight
+    operand stays small enough to stream (~134 MB bf16 at the flagship
+    262144-point budget and res 16)."""
+    res = spec.resolutions[lv]
+    hmap = spec.offsets[lv + 1] - spec.offsets[lv]
+    C = spec.level_dim
+    return (spec.input_dim == 3
+            and res ** 3 <= hmap              # dense level
+            and res * C >= 128
+            and res * res >= 128
+            and res * res * C <= 8192)
+
+
+def _matmul_split(spec: HashGridSpec) -> int:
+    """Number of leading levels on the matmul path (resolutions grow, so
+    qualifying levels form a prefix). At least one level stays on the
+    window path so the record machinery never sees zero windows.
+    RAW_NGP_MM_LEVELS=0 disables (read at trace time, like
+    RAW_NGP_CHUNKED_SORT)."""
+    import os
+    if os.environ.get("RAW_NGP_MM_LEVELS", "1") != "1":
+        return 0
+    k = 0
+    while k < spec.num_levels - 1 and _matmul_level(spec, k):
+        k += 1
+    return k
+
+
 def _level_pairable(spec: HashGridSpec, lv: int) -> bool:
     """Whether the two x-corners of any cell at this level are guaranteed
     adjacent table rows (see module docstring)."""
@@ -159,7 +192,7 @@ def _window_indices_weights(x01, spec: HashGridSpec):
     top = spec.n_params - 2
 
     bases, w0s, w1s = [], [], []
-    for lv in range(L):
+    for lv in range(_matmul_split(spec), L):
         res = spec.resolutions[lv]
         fr, gr = [], []
         for d in range(D):
@@ -211,17 +244,146 @@ def _window_indices_weights(x01, spec: HashGridSpec):
     return jnp.stack(bases), jnp.stack(w0s), jnp.stack(w1s)   # [P, B]
 
 
+@functools.lru_cache(maxsize=None)
+def _mm_static(res: int, C: int):
+    """Static index/selection constants for the matmul path: per-lane
+    (z, y) of the folded [res^2] q axis, per-lane x of the [res*C] p
+    axis, and the [res*C, C] channel-selection matrix."""
+    q = np.arange(res * res, dtype=np.int32)
+    p = np.arange(res * C, dtype=np.int32)
+    sel = np.zeros((res * C, C), np.float32)
+    sel[p, p % C] = 1.0
+    return (q // res)[None, :], (q % res)[None, :], (p // C)[None, :], sel
+
+
+def _corner_axis(x, res: int, spec: HashGridSpec):
+    """Per-axis corner row + fraction (g0 [B] int32, f [B] f32), matching
+    _window_indices_weights / the ops.hashgrid oracle bit-for-bit."""
+    if spec.align_corners:
+        pos = x * (res - 1)
+        g0 = jnp.minimum(jnp.floor(pos), res - 2)
+    else:
+        pos = jnp.clip(x * res - 0.5, 0.0, res - 1)
+        g0 = jnp.floor(pos)
+    f = pos - g0
+    if spec.interpolation == "smoothstep":
+        f = _smoothstep(f)
+    return g0.astype(jnp.int32), f
+
+
+def _mm_axis_weights(x01, spec: HashGridSpec, lv: int):
+    """(wyz [B, res^2], wx_p [B, res*C]) f32 weight operands for level
+    ``lv``'s separable contraction; out-of-bounds points get all-zero
+    rows (the window path's inb mask)."""
+    B, D = x01.shape
+    res = spec.resolutions[lv]
+    C = spec.level_dim
+    qz, qy, px, _ = _mm_static(res, C)
+    xs = [x01[:, d].astype(jnp.float32) for d in range(D)]
+    inb = (xs[0] >= 0.0) & (xs[0] <= 1.0)
+    for d in range(1, D):
+        inb = inb & (xs[d] >= 0.0) & (xs[d] <= 1.0)
+    xs = [jnp.where(inb, x, 0.5) for x in xs]
+    (gx, fx), (gy, fy), (gz, fz) = (_corner_axis(x, res, spec) for x in xs)
+
+    def axis_w(lane_idx, g0, f):
+        g0c, g1c = g0[:, None], jnp.minimum(g0 + 1, res - 1)[:, None]
+        return ((1.0 - f)[:, None] * (lane_idx == g0c)
+                + f[:, None] * (lane_idx == g1c))
+
+    wyz = axis_w(qz, gz, fz) * axis_w(qy, gy, fy) \
+        * inb.astype(jnp.float32)[:, None]                  # [B, res^2]
+    wx_p = axis_w(px, gx, fx)                               # [B, res*C]
+    return wyz, wx_p
+
+
+def _mm_forward(params, x01, spec: HashGridSpec, compute_dtype=None):
+    """Leading dense levels as separable MXU contractions — no gathers.
+
+    A dense level's trilinear interpolation (gridencoder.cu:62-79 dense
+    branch + :154-159) is
+
+        out[b, c] = sum_{z,y,x} wz[b,z] wy[b,y] wx[b,x] T[z, y, x, c]
+
+    with two nonzeros per axis weight row. Folding (z, y) into one
+    4-nonzero [B, res^2] operand makes stage 1 a true matmul
+    [B, res^2] @ [res^2, res*C] (the level's flat slice reshaped
+    row-major: flat row = x + res*y + res^2*z), and the x contraction an
+    elementwise multiply plus a [res*C, C] channel-selection matmul.
+    Replaces the level's 2^(D-1) vrow gathers per point (~5 ns each at
+    the measured gather floor — half the flagship's 2.1M-gather encode)
+    with ~0.1 ms of MXU work at [262144 pts, res 16, C 16], and removes
+    the level's records from the backward sort entirely
+    (:func:`_mm_grad_table`). Exact same interpolation math as the
+    window path / ops.hashgrid oracle.
+
+    Returns [B, m*C] features for the m = _matmul_split(spec) leading
+    levels (m == 0 -> [B, 0]).
+    """
+    B = x01.shape[0]
+    m = _matmul_split(spec)
+    C = spec.level_dim
+    dt = compute_dtype or params.dtype
+    pf = params.reshape(-1)
+    outs = []
+    for lv in range(m):
+        res = spec.resolutions[lv]
+        off = int(spec.offsets[lv])
+        _, _, _, sel = _mm_static(res, C)
+        wyz, wx_p = _mm_axis_weights(x01, spec, lv)
+        T2 = pf[off * C:(off + res ** 3) * C].astype(dt) \
+            .reshape(res * res, res * C)
+        Z = wyz.astype(dt) @ T2                             # [B, res*C]
+        outs.append((Z * wx_p.astype(dt)) @ jnp.asarray(sel, dt))
+    if not outs:
+        return jnp.zeros((B, 0), dt)
+    return jnp.concatenate(outs, axis=1)                    # [B, m*C]
+
+
+def _mm_grad_table(x01, g, spec: HashGridSpec, compute_dtype=None):
+    """Table gradient of the matmul-path prefix: the transposed
+    contraction grad_T2 = wyz^T @ (wx ⊙ (g @ sel^T)) — two matmuls per
+    level instead of sort + segment-sum + scatter (the window path's
+    backward). bf16 matmuls accumulate f32 on the MXU and round the
+    output once, matching the bf16-total noise of the sorted path
+    (and the reference's fp16 atomics, gridencoder.cu:334-347).
+
+    g: [B, L*C] upstream cotangent. Returns flat [offsets[m]*C] f32.
+    """
+    m = _matmul_split(spec)
+    C = spec.level_dim
+    dt = compute_dtype or jnp.float32
+    parts = []
+    for lv in range(m):
+        res = spec.resolutions[lv]
+        hmap = int(spec.offsets[lv + 1]) - int(spec.offsets[lv])
+        _, _, _, sel = _mm_static(res, C)
+        wyz, wx_p = _mm_axis_weights(x01, spec, lv)
+        g_lv = g[:, lv * C:(lv + 1) * C].astype(dt)         # [B, C]
+        Gx = (g_lv @ jnp.asarray(sel.T, dt)) * wx_p.astype(dt)
+        grad_T2 = wyz.astype(dt).T @ Gx                     # [res^2, res*C]
+        flat = grad_T2.reshape(-1).astype(jnp.float32)
+        if hmap > res ** 3:                 # /8-rounded tail rows unused
+            flat = jnp.concatenate(
+                [flat, jnp.zeros(((hmap - res ** 3) * C,), jnp.float32)])
+        parts.append(flat)
+    if not parts:
+        return jnp.zeros((0,), jnp.float32)
+    return jnp.concatenate(parts)
+
+
 def _group_extents(spec: HashGridSpec):
     """((n_levels, n_windows_per_level, window_col_offset), ...) for the
     pairable prefix and non-pairable suffix groups (empty groups omitted)."""
     D = spec.input_dim
-    k = _pairable_split(spec)
+    m = _matmul_split(spec)     # mm levels are dense, hence pairable:
+    k = _pairable_split(spec)   # the mm prefix sits inside the pairable one
     L = spec.num_levels
     groups = []
-    if k > 0:
-        groups.append((k, 1 << (D - 1), 0))
+    if k > m:
+        groups.append((k - m, 1 << (D - 1), 0))
     if k < L:
-        groups.append((L - k, 1 << D, k * (1 << (D - 1))))
+        groups.append((L - k, 1 << D, (k - m) * (1 << (D - 1))))
     return tuple(groups)
 
 
@@ -250,11 +412,12 @@ def _vrow_cat(params_flat):
 
 
 @functools.lru_cache(maxsize=None)
-def _level_of_window(spec: HashGridSpec):
-    """Static window -> level map (level-major window ordering, matching
-    _window_indices_weights)."""
+def _level_of_window(spec: HashGridSpec, m: int):
+    """Static window -> level map (ABSOLUTE level ids, level-major window
+    ordering matching _window_indices_weights; matmul-path prefix levels
+    have no windows)."""
     lvl_of_w = []
-    lv0 = 0
+    lv0 = m
     for nl, nw, _ in _group_extents(spec):
         for lv in range(lv0, lv0 + nl):
             lvl_of_w.extend([lv] * nw)
@@ -263,17 +426,19 @@ def _level_of_window(spec: HashGridSpec):
 
 
 @functools.lru_cache(maxsize=None)
-def _sel_tensor_np(spec: HashGridSpec):
-    """Fixed selection tensor S [P, 128, L*C] folding channel extraction
-    AND the window->level reduction into one MXU contraction:
-    S[w, k, l*C + c] = (k mod C == c) * (level_of_window(w) == l)."""
+def _sel_tensor_np(spec: HashGridSpec, m: int):
+    """Fixed selection tensor S [P, 128, (L-m)*C] folding channel
+    extraction AND the window->level reduction into one MXU contraction:
+    S[w, k, (l-m)*C + c] = (k mod C == c) * (level_of_window(w) == l),
+    columns covering the window-path levels only (the m matmul-path
+    prefix levels produce their features in _mm_forward)."""
     C = spec.level_dim
     L = spec.num_levels
-    lvl_of_w = _level_of_window(spec)
+    lvl_of_w = _level_of_window(spec, m)
     P = len(lvl_of_w)
-    S = np.zeros((P, 128, L * C), np.float32)
+    S = np.zeros((P, 128, (L - m) * C), np.float32)
     for w in range(P):
-        l = lvl_of_w[w]
+        l = lvl_of_w[w] - m
         for k in range(128):
             S[w, k, l * C + (k % C)] = 1.0
     return S
@@ -314,7 +479,7 @@ def _window_forward(params, base, w0, w1, spec: HashGridSpec,
     u = (w0.reshape(M, 1) * (g128 == p_)
          + w1.reshape(M, 1) * (g128 == p_ + 1)).astype(dt)
     prod = (rows * u).reshape(P, B, 128)
-    S = jnp.asarray(_sel_tensor_np(spec), dt)
+    S = jnp.asarray(_sel_tensor_np(spec, _matmul_split(spec)), dt)
     # accumulated per-window matmuls [B, 128] @ [128, L*C]: windows whose
     # lanes u zeroed contribute nothing outside their own level's columns,
     # so the accumulation IS the window->level reduction
@@ -330,14 +495,21 @@ def hash_encode_fused(params, x01, spec: HashGridSpec,
     [n_params*C] table, with 128-lane vrow gathers and the sort-based
     table gradient. x01 in [0, 1]^D; compute_dtype (e.g. bfloat16) sets
     the gather/contract precision while the table and its gradient stay
-    in the table's own dtype."""
+    in the table's own dtype. Leading dense levels ride the gather-free
+    matmul path (_mm_forward); the rest use the window scheme."""
     base, w0, w1 = _window_indices_weights(x01, spec)
-    return _window_forward(params, base, w0, w1, spec, compute_dtype)
+    return jnp.concatenate(
+        [_mm_forward(params, x01, spec, compute_dtype),
+         _window_forward(params, base, w0, w1, spec, compute_dtype)],
+        axis=1)
 
 
 def _fused_fwd(params, x01, spec, need_input_grads, compute_dtype):
     base, w0, w1 = _window_indices_weights(x01, spec)
-    out = _window_forward(params, base, w0, w1, spec, compute_dtype)
+    out = jnp.concatenate(
+        [_mm_forward(params, x01, spec, compute_dtype),
+         _window_forward(params, base, w0, w1, spec, compute_dtype)],
+        axis=1)
     return out, (params, x01, base, w0, w1)
 
 
@@ -452,19 +624,20 @@ def _iota_sort_on() -> bool:
     return os.environ.get("RAW_NGP_IOTA_SORT", "0") == "1"
 
 
-def _window_bwd_table_chunked(spec, res, g):
+def _window_bwd_table_chunked(spec, res, g, compute_dtype=None):
     """Per-level variant of :func:`_window_bwd_table`: each level's
     records (a contiguous window slice, level-major ordering) sort and
     place independently into the level's own row range."""
     params, x01, base, w0, w1 = res
     C = spec.level_dim
+    m = _matmul_split(spec)
     gT = g.astype(jnp.float32).T                            # [L*C, B]
-    lvl_of_w = _level_of_window(spec)
+    lvl_of_w = _level_of_window(spec, m)
     P, B = base.shape
 
     totals = []
     w_lo = 0
-    for lv in range(spec.num_levels):
+    for lv in range(m, spec.num_levels):
         w_hi = w_lo
         while w_hi < P and lvl_of_w[w_hi] == lv:
             w_hi += 1
@@ -500,20 +673,24 @@ def _window_bwd_table_chunked(spec, res, g):
                 + [w1_s * x for x in g_s], rows_l)
         totals.append(t_l)
         w_lo = w_hi
-    totals = jnp.concatenate(totals, axis=0)                # [n_params, 2C]
+    totals = jnp.concatenate(totals, axis=0)   # [n_params - off_m, 2C]
     g0, g1 = totals[:, :C], totals[:, C:]
+    # v1 at base b belongs to row b+1; the first suffix row receives no
+    # shift-in (the matmul-path prefix has no window records)
     grad = g0 + jnp.concatenate([jnp.zeros_like(g1[:1]), g1[:-1]], axis=0)
+    grad = jnp.concatenate(
+        [_mm_grad_table(x01, g, spec, compute_dtype), grad.reshape(-1)])
     return grad.reshape(params.shape).astype(params.dtype)
 
 
-def _window_bwd_table(spec, res, g):
+def _window_bwd_table(spec, res, g, compute_dtype=None):
     """Table gradient through the window scheme: sort window records,
     segment-sum 2C channels, combine G0 + shift(G1) into the flat table."""
     params, x01, base, w0, w1 = res
     if TABLE_GRAD_MODE == "zero":
         return jnp.zeros_like(params)
     if TABLE_GRAD_MODE == "full" and _chunked_sort_on():
-        return _window_bwd_table_chunked(spec, res, g)
+        return _window_bwd_table_chunked(spec, res, g, compute_dtype)
     P, B = base.shape
     C = spec.level_dim
     M = P * B
@@ -521,7 +698,7 @@ def _window_bwd_table(spec, res, g):
     # gT rows are clean 1-D [B] slices; g itself is [B, L*C] whose L*C
     # minor would tile-pad any per-level slicing — one transpose instead
     gT = g.astype(jnp.float32).T                            # [L*C, B]
-    lvl_of_w = _level_of_window(spec)
+    lvl_of_w = _level_of_window(spec, _matmul_split(spec))
 
     # outer-product payload, window-major (m = w*B + b): word 0 carries
     # the record's (w0, w1) pair, words 1.. the C g-channels of the
@@ -560,12 +737,19 @@ def _window_bwd_table(spec, res, g):
     g0, g1 = totals[:, :C], totals[:, C:]
     # v1 recorded at base b belongs to row b+1
     grad = g0 + jnp.concatenate([jnp.zeros_like(g1[:1]), g1[:-1]], axis=0)
+    grad = grad.reshape(-1)
+    mm = _mm_grad_table(x01, g, spec, compute_dtype)
+    if mm.shape[0]:
+        # matmul-prefix rows have no window records: their slice of the
+        # scattered grad is zero, so the add just places the mm grads
+        grad = jnp.concatenate([mm + grad[:mm.shape[0]],
+                                grad[mm.shape[0]:]])
     return grad.reshape(params.shape).astype(params.dtype)
 
 
 def _fused_bwd(spec, need_input_grads, compute_dtype, res, g):
     params, x01, base, w0, w1 = res
-    grad_table = _window_bwd_table(spec, res, g)
+    grad_table = _window_bwd_table(spec, res, g, compute_dtype)
 
     if not need_input_grads:
         return grad_table, jnp.zeros_like(x01)
@@ -578,8 +762,10 @@ def _fused_bwd(spec, need_input_grads, compute_dtype, res, g):
 
     def weights_path(x):
         _, w0x, w1x = _window_indices_weights(x, spec)
-        return _window_forward(frozen, base, w0x, w1x, spec,
-                               compute_dtype)
+        return jnp.concatenate(
+            [_mm_forward(frozen, x, spec, compute_dtype),
+             _window_forward(frozen, base, w0x, w1x, spec,
+                             compute_dtype)], axis=1)
 
     _, vjp = jax.vjp(weights_path, x01)
     (grad_x,) = vjp(g)

@@ -140,16 +140,45 @@ def _morton_of_linear(hc: int):
     return code.reshape(-1).astype(np.int32)
 
 
+@functools.lru_cache(maxsize=64)
+def _axis_overlap(hc: int, mb_tgt: float, mb_src: float):
+    """[hc, hc] 0/1 matrix: target-cascade axis cell a spatially overlaps
+    source-cascade axis cell b (cascade ℓ's cell a covers the world
+    interval [(a/hc·2−1)·mb, ((a+1)/hc·2−1)·mb]). Host-side static
+    constant; boundary touches count as overlap (conservative)."""
+    a = np.arange(hc + 1, dtype=np.float64)
+    t = (a / hc * 2.0 - 1.0) * mb_tgt
+    s = (a / hc * 2.0 - 1.0) * mb_src
+    ov = (t[:-1, None] <= s[None, 1:]) & (s[None, :-1] <= t[1:, None])
+    # source cells beyond the target extent clamp to the nearest edge
+    # cell (the old per-cascade probe loop clamped indices the same way):
+    # content just outside a finer cascade's cube must stay detectable by
+    # probes that index the finer cascade, at edge-cell granularity.
+    ov[0] |= s[1:] <= t[0]
+    ov[-1] |= s[:-1] >= t[-1]
+    return ov.astype(np.float32)
+
+
 def coarse_occupancy(bitfield, grid_size: int, cascades: int,
-                     dilate_radius: int):
-    """4^3 max-pool + dilate the Morton bitfield into a LINEAR-order
-    coarse occupancy volume [CAS * Hc^3] int32 (Hc = H/4).
+                     dilate_radius: int, bound: float = 0.0):
+    """4^3 max-pool + cross-cascade union + dilate the Morton bitfield
+    into LINEAR-order coarse occupancy volumes [CAS * Hc^3] int32
+    (Hc = H/4).
 
     Pooling rides the Morton layout: coarse cell c covers exactly the 64
     consecutive fine codes [64c, 64c+64) == u32 words 2c and 2c+1, so the
     pool is one pairwise OR. Dilation (separable running max over a
     (2r+1)^3 neighborhood) makes probe tests conservative: any fine
     sample within r coarse cells of a probe point stays detectable.
+
+    With ``bound`` given, each cascade's volume is the UNION of every
+    cascade's occupancy resampled (conservatively, via static axis
+    overlap matrices) into that cascade's coordinates, so a probe needs
+    ONE gather at its containing cascade instead of one per cascade —
+    the probe pass is ~524k gathers/step per cascade at the flagship
+    shape, so this halves it at cascades=2. The resample runs before
+    dilation; dilating in cascade-ℓ cells (≥ cascade-0 cells, which set
+    the radius) keeps the half-spacing guarantee conservative.
     """
     hc = grid_size // 4
     words = jax.lax.bitcast_convert_type(
@@ -157,6 +186,22 @@ def coarse_occupancy(bitfield, grid_size: int, cascades: int,
     occ_m = (words[..., 0] | words[..., 1]) > 0          # Morton order
     occ_lin = occ_m[:, jnp.asarray(_morton_of_linear(hc))]
     vol = occ_lin.reshape(cascades, hc, hc, hc).astype(jnp.float32)
+    if bound > 0.0 and cascades > 1:
+        mbs = [float(min(2.0 ** l, bound)) for l in range(cascades)]
+        folded = []
+        for tgt in range(cascades):
+            u = vol[tgt]
+            for src in range(cascades):
+                if src == tgt:
+                    continue
+                ov = jnp.asarray(_axis_overlap(hc, mbs[tgt], mbs[src]))
+                r = vol[src]
+                r = jnp.einsum("xa,ayz->xyz", ov, r)
+                r = jnp.einsum("yb,xbz->xyz", ov, r)
+                r = jnp.einsum("zc,xyc->xyz", ov, r)
+                u = u + r
+            folded.append(u)
+        vol = jnp.stack(folded)
     k = 2 * dilate_radius + 1
     vol = jax.lax.reduce_window(
         vol, -jnp.inf, jax.lax.max, (1, k, k, k), (1, 1, 1, 1), "SAME")
@@ -179,14 +224,16 @@ def _probe_occupancy(rays_o, rays_d, coarse_lin, nears, fars,
     """Per-ray probe-interval occupancy against the dilated coarse grid.
 
     Splits [near, far] into ``n_probes`` uniform intervals, tests each
-    interval's center. Probes OR across EVERY cascade: a per-probe mip
-    gate would need the worst-case mip over the half-spacing
-    neighborhood, not the probe point's own mip — a probe sitting just
-    outside the unit cube (mip 1) can neighbor in-cube samples whose
-    fine march tests cascade 0, and gating on the probe's mip dropped
-    exactly those (measured: rays grazing the |x|_inf = 1 shell rendered
-    black). Testing extra cascades only widens spans — conservative,
-    never wrong.
+    interval's center with ONE gather at the probe's containing cascade.
+    ``coarse_lin`` must come from :func:`coarse_occupancy` with the union
+    fold (bound > 0): each cascade's volume already ORs in every other
+    cascade's occupancy resampled to its coordinates, so the single
+    containing-cascade test still sees cross-cascade content — a probe
+    sitting just outside the unit cube (mip 1) can neighbor in-cube
+    samples whose fine march tests cascade 0, and a naive per-probe mip
+    gate dropped exactly those (measured: rays grazing the |x|_inf = 1
+    shell rendered black; tests/test_coarse_march.py::
+    test_cascade0_shell_content_not_dropped guards it).
 
     Returns (occ [N, P] bool, t [N, P] probe centers, spacing [N, 1]).
     """
@@ -204,17 +251,19 @@ def _probe_occupancy(rays_o, rays_d, coarse_lin, nears, fars,
         scale = (2.0 - 1.0 / safe) / safe
         cpos = jnp.where(mag[..., None] > 1.0, pos * scale, pos)
 
-    occ = jnp.zeros(t.shape, jnp.bool_)
-    for lvl in range(cascades):
-        mb = min(2.0 ** lvl, bound)
-        n = jnp.clip(0.5 * (cpos / mb + 1.0) * hc,
-                     0.0, hc - 1).astype(jnp.int32)
-        idx = (lvl * hc ** 3
-               + (n[..., 0] * hc + n[..., 1]) * hc + n[..., 2])
-        # flattened 1-D gather: [N, P<128] operands are tile-padded and
-        # fall off the fast gather path (CLAUDE.md layout rule)
-        hit = coarse_lin[idx.reshape(-1)].reshape(idx.shape)
-        occ = occ | (hit > 0)
+    # smallest cascade containing the (contracted) indexing coordinate
+    mag_c = jnp.max(jnp.abs(cpos), axis=-1)                 # [N, P]
+    lvl = jnp.clip(_floor_log2_p1(mag_c), 0, cascades - 1)
+    pow2 = jax.lax.bitcast_convert_type((lvl + 127) << 23, jnp.float32)
+    mb = jnp.minimum(pow2, bound)[..., None]                # [N, P, 1]
+    n = jnp.clip(0.5 * (cpos / mb + 1.0) * hc,
+                 0.0, hc - 1).astype(jnp.int32)
+    idx = (lvl * hc ** 3
+           + (n[..., 0] * hc + n[..., 1]) * hc + n[..., 2])
+    # flattened 1-D gather: [N, P<128] operands are tile-padded and
+    # fall off the fast gather path (CLAUDE.md layout rule)
+    hit = coarse_lin[idx.reshape(-1)].reshape(idx.shape)
+    occ = hit > 0
     if contract:
         occ = occ | (mag > 1.0)
     occ = occ & (t < fars)
@@ -322,7 +371,8 @@ def march_rays(
     if coarse_probes > 0:
         coarse_lin = coarse_occupancy(
             bitfield, grid_size, cascades,
-            _coarse_dilate_radius(bound, grid_size, coarse_probes))
+            _coarse_dilate_radius(bound, grid_size, coarse_probes),
+            bound=bound)
         if use_cdf:
             t_cand, dt = cdf_candidates(
                 rays_o, rays_d, coarse_lin, nears, fars, bound, contract,

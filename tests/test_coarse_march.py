@@ -59,7 +59,7 @@ def test_coarse_span_is_conservative(bound, cascades):
     mask = np.asarray(m_full["mask"])
 
     r = _coarse_dilate_radius(bound, gs, n_probes)
-    coarse = coarse_occupancy(bitfield, gs, cascades, r)
+    coarse = coarse_occupancy(bitfield, gs, cascades, r, bound=bound)
     near2, far2 = coarse_spans(ro, rd, coarse, nears, fars, bound, False,
                                gs, cascades, n_probes)
     near2, far2 = np.asarray(near2), np.asarray(far2)
@@ -82,7 +82,7 @@ def test_empty_scene_collapses_spans():
     ro, rd = _rand_rays(jax.random.PRNGKey(3), N, bound)
     nears = jnp.full((N, 1), 0.05)
     fars = jnp.full((N, 1), 3.4)
-    coarse = coarse_occupancy(bitfield, gs, cascades, 1)
+    coarse = coarse_occupancy(bitfield, gs, cascades, 1, bound=bound)
     near2, far2 = coarse_spans(ro, rd, coarse, nears, fars, bound, False,
                                gs, cascades, 64)
     np.testing.assert_allclose(np.asarray(near2), np.asarray(fars))
@@ -207,7 +207,7 @@ def test_cdf_candidates_land_only_in_occupied_intervals():
     from raw_ngp_tpu.render.occupancy import (
         cdf_candidates, coarse_occupancy, _coarse_dilate_radius)
     r = _coarse_dilate_radius(bound, gs, P)
-    coarse = coarse_occupancy(bitfield, gs, 1, r)
+    coarse = coarse_occupancy(bitfield, gs, 1, r, bound=bound)
     t_cand, dt = cdf_candidates(ro, rd, coarse, nears, fars, bound,
                                 False, gs, 1, P, S, 0.5)
     t_cand, dt = np.asarray(t_cand), np.asarray(dt)
@@ -269,3 +269,41 @@ def test_cdf_march_matches_span_march_render():
     # the two marches must agree on it within a few fine steps
     np.testing.assert_allclose(tau_cdf, tau_span, rtol=0.12)
     assert (tau_cdf > 0).all()
+
+
+def test_outer_cascade_content_seen_by_inner_probes():
+    """Union-fold regression (round-3c): cascade-1 content just OUTSIDE
+    the unit cube must stay detectable by probes sitting INSIDE the cube
+    (which index cascade 0 after the single-gather rewrite). The fold
+    resamples c1 into c0 coords with out-of-extent cells clamped to the
+    edge cells, mirroring the old clamped-index behavior."""
+    gs, cascades, bound, n_probes = 32, 2, 2.0, 64
+    # one occupied cascade-1 cell just outside the +x face of the cube:
+    # c1 covers [-2, 2] with 32 fine... coarse hc cells handled inside
+    # coarse_occupancy; here we occupy FINE cells so packbits is real.
+    # fine cascade-1 cell x index for x ~ 1.06: n = (1.06/2+1)/2*32 = 24.5
+    cell = np.asarray(morton3d(jnp.asarray([[24, 16, 16]],
+                                           dtype=jnp.int32)))[0]
+    dens = np.zeros((cascades, gs ** 3), np.float32)
+    dens[1, cell] = 100.0                       # cascade 0 stays EMPTY
+    bitfield = packbits(jnp.asarray(dens), 1.0)
+
+    # rays along +x through the cube center: every probe inside the cube
+    # indexes cascade 0; the occupied sample sits just past the +x face
+    N = 9
+    ro = jnp.stack([jnp.full((N,), -1.8),
+                    jnp.linspace(0.02, 0.12, N),
+                    jnp.full((N,), 0.04)], axis=-1)
+    rd = jnp.tile(jnp.array([[1.0, 0.0, 0.0]]), (N, 1))
+    nears = jnp.full((N, 1), 0.05)
+    fars = jnp.full((N, 1), 2.0 * np.sqrt(3.0) * bound)
+
+    m_full = march_rays(ro, rd, bitfield, nears, fars, bound, False, gs,
+                        cascades, 512, 128, coarse_probes=0)
+    m_coarse = march_rays(ro, rd, bitfield, nears, fars, bound, False,
+                          gs, cascades, 512, 128, coarse_probes=n_probes)
+    full_hits = np.asarray(m_full["mask"]).any(axis=1)
+    coarse_hits = np.asarray(m_coarse["mask"]).any(axis=1)
+    assert full_hits.any()                       # geometry is visible
+    np.testing.assert_array_equal(coarse_hits[full_hits],
+                                  np.ones(full_hits.sum(), bool))

@@ -59,7 +59,7 @@ def test_golden_render_occupancy():
     mse = float(np.mean((rgb - golden) ** 2))
     psnr_vs_golden = -10 * np.log10(max(mse, 1e-12))
     assert psnr_vs_golden > 35.0, f"render drifted: {psnr_vs_golden:.2f} dB"
-    # GT resemblance is a sanity floor only (13.2 dB at regeneration —
+    # GT resemblance is a sanity floor only (12.9 dB at regeneration —
     # 150 steps on a 32x32 scene); the drift assertion above is the net
     mse_gt = float(np.mean((np.clip(rgb, 0, 1) - gt) ** 2))
     assert -10 * np.log10(max(mse_gt, 1e-12)) > 12.0

@@ -150,3 +150,50 @@ def test_iota_sort_backward_matches_default(monkeypatch):
     g_iota = np.asarray(table_grad())
     scale = np.abs(g_def).max() + 1e-12
     np.testing.assert_allclose(g_iota, g_def, atol=2e-2 * scale)
+
+
+def test_matmul_level_path_matches_window_path(monkeypatch):
+    """The gather-free matmul path for leading dense levels
+    (hash_fused._mm_forward / _mm_grad_table) must match the window path
+    (RAW_NGP_MM_LEVELS=0) and the oracle: forward, table gradient, and
+    the pose-path input gradients. Flagship-like L2xC16 spec: level 0 is
+    dense res 16 (on the matmul path), level 1 hashed."""
+    from raw_ngp_tpu.kernels import hash_fused as hf
+    spec = HashGridSpec.create(num_levels=2, level_dim=16,
+                               log2_hashmap_size=12,
+                               desired_resolution=256,
+                               hash_variant="additive")
+    key = jax.random.PRNGKey(21)
+    params = init_hashgrid_params(key, spec).reshape(-1)
+    x = jax.random.uniform(jax.random.fold_in(key, 1), (2048, 3))
+    gout = jax.random.normal(jax.random.fold_in(key, 2),
+                             (2048, spec.num_levels * spec.level_dim))
+
+    def run(need_input_grads=False):
+        def loss(p, xx):
+            return (hash_encode_fused(p, xx, spec, need_input_grads,
+                                      jnp.float32) * gout).sum()
+        out = jax.jit(lambda p, xx: hash_encode_fused(
+            p, xx, spec, need_input_grads, jnp.float32))(params, x)
+        gp, gx = jax.jit(jax.grad(loss, argnums=(0, 1)))(params, x)
+        return np.asarray(out), np.asarray(gp), np.asarray(gx)
+
+    monkeypatch.setenv("RAW_NGP_MM_LEVELS", "1")
+    assert hf._matmul_split(spec) == 1      # level 0 on the matmul path
+    out_mm, gp_mm, gx_mm = run(True)
+    monkeypatch.setenv("RAW_NGP_MM_LEVELS", "0")
+    assert hf._matmul_split(spec) == 0
+    out_w, gp_w, gx_w = run(True)
+
+    np.testing.assert_allclose(out_mm, out_w, rtol=1e-5, atol=1e-6)
+    scale = np.abs(gp_w).max() + 1e-12
+    np.testing.assert_allclose(gp_mm, gp_w, atol=2e-2 * scale)
+    xscale = np.abs(gx_w).max() + 1e-12
+    np.testing.assert_allclose(gx_mm, gx_w, atol=1e-3 * xscale)
+
+    # oracle cross-check of the matmul-path forward
+    monkeypatch.setenv("RAW_NGP_MM_LEVELS", "1")
+    want = hash_encode_01(params.reshape(spec.n_params, spec.level_dim),
+                          x, spec)
+    np.testing.assert_allclose(out_mm, np.asarray(want),
+                               rtol=1e-5, atol=1e-6)

@@ -41,7 +41,7 @@ base = jnp.where(live, base_r, (jnp.arange(P) * 7)[:, None])
 w0 = jax.random.uniform(jax.random.PRNGKey(2), (P, B))
 w1 = jax.random.uniform(jax.random.PRNGKey(3), (P, B))
 g = jax.random.normal(jax.random.PRNGKey(4), (B, L * C), jnp.bfloat16)
-LVL = hf._level_of_window(spec)
+LVL = hf._level_of_window(spec, hf._matmul_split(spec))
 
 def records(base, w0, w1, g):
     gT = g.astype(jnp.float32).T

@@ -32,7 +32,8 @@ def run_variant(march_candidates: int, coarse_probes: int,
                 num_levels: int = 0, level_dim: int = 0,
                 iters: int = 480, timed: int = 192,
                 march_cdf: bool = False, samples_per_ray: int = 0,
-                compact_ratio: float = 0.0):
+                compact_ratio: float = 0.0,
+                grid_partial_fraction: float = 0.0):
     # NOTE: both the warmup and the timed window must be MULTIPLES of the
     # scan-dispatch chunk (update_extra_interval = 16): a remainder would
     # compile the single-step executable inside the timed window (~45 s
@@ -55,6 +56,11 @@ def run_variant(march_candidates: int, coarse_probes: int,
         cfg = replace(cfg, render=replace(
             cfg.render, samples_per_ray=samples_per_ray,
             compact_ratio=compact_ratio or cfg.render.compact_ratio))
+    if grid_partial_fraction:
+        # ROADMAP round-3c queue item: refresh fewer cells per update
+        # (0.25 -> 0.125 roughly halves the ~4 ms/step amortized refresh)
+        cfg = replace(cfg, render=replace(
+            cfg.render, grid_partial_fraction=grid_partial_fraction))
     if num_levels:
         # ROADMAP path 4: an L x C reshape at constant L*C halves the
         # sort/segsum record count M per level halving (8 levels x C4 ->
@@ -64,9 +70,13 @@ def run_variant(march_candidates: int, coarse_probes: int,
     cfg = cfg.validate()
     train_scene, val_scene = make_synthetic_scene(n_train=36, n_val=2,
                                                   H=128, W=128)
+    tag = (f"{march_candidates}_{coarse_probes}"
+           f"{'_cdf' if march_cdf else ''}"
+           f"{f'_L{num_levels}C{level_dim}' if num_levels else ''}"
+           f"{f'_K{samples_per_ray}' if samples_per_ray else ''}"
+           f"{f'_pf{grid_partial_fraction}' if grid_partial_fraction else ''}")
     tr = Trainer(cfg, train_scene, val_scene,
-                 workspace=f"/tmp/sweep_ws_{march_candidates}_{coarse_probes}"
-                           f"{'_cdf' if march_cdf else ''}")
+                 workspace=f"/tmp/sweep_ws_{tag}")
     tr.train(iters=iters - timed, log_every=10 ** 9)    # warmup + fit
     r = tr.train(iters=timed, log_every=10 ** 9)        # timed window
 
@@ -93,22 +103,37 @@ def main():
                              "192:64", "256:32:4:8"],
                     help="march_candidates:coarse_probes[:levels:chans]")
     ap.add_argument("--out", default="/tmp/perf_sweep.json")
+    # Warmup must cover BOTH compiles: the initial 8192-ray executable AND
+    # the adaptive-growth 16384-ray respecialization (fires ~step 300 on
+    # the bench scene) — a cold remote compile (~45-90 s on the tunnel)
+    # landing inside the timed window poisons the row (measured 03/2026:
+    # 620 "ms/step" rows that were really one compile + fast steps).
+    ap.add_argument("--iters", type=int, default=672)
+    ap.add_argument("--timed", type=int, default=192)
     args = ap.parse_args()
+    assert args.timed % 16 == 0 and (args.iters - args.timed) % 16 == 0
     os.environ.setdefault("RAW_NGP_COMPILE_CACHE", "/tmp/raw_ngp_jax_cache")
 
     results = []
     for v in args.variants:
         toks = v.split(":")
         cdf = "cdf" in toks
-        K = next((int(t[1:]) for t in toks if t.startswith("k")), 0)
-        ratio = next((float(t[1:]) for t in toks if t.startswith("r")), 0.0)
+        K = next((int(t[1:]) for t in toks
+                  if t.startswith("k") and t != "cdf"), 0)
+        pf = next((float(t[2:]) for t in toks if t.startswith("pf")), 0.0)
+        ratio = next((float(t[1:]) for t in toks
+                      if t.startswith("r") and not t.startswith("pf")), 0.0)
         parts = [int(t) for t in toks
-                 if t not in ("cdf",) and not t.startswith(("k", "r"))]
+                 if t not in ("cdf",) and not t.startswith(("k", "r", "pf"))]
         mc, cp = parts[0], parts[1]
         L, C = (parts[2], parts[3]) if len(parts) > 2 else (0, 0)
         t0 = time.time()
         rec = run_variant(mc, cp, L, C, march_cdf=cdf,
-                          samples_per_ray=K, compact_ratio=ratio)
+                          samples_per_ray=K, compact_ratio=ratio,
+                          grid_partial_fraction=pf,
+                          iters=args.iters, timed=args.timed)
+        if pf:
+            rec["grid_partial_fraction"] = pf
         if K:
             rec["samples_per_ray"] = K
             rec["compact_ratio"] = ratio

@@ -87,14 +87,16 @@ def _matmul_split(spec: HashGridSpec) -> int:
     """Number of leading levels on the matmul path (resolutions grow, so
     qualifying levels form a prefix). At least one level stays on the
     window path so the record machinery never sees zero windows.
-    RAW_NGP_MM_LEVELS=0 disables (read at trace time, like
+    RAW_NGP_MM_LEVELS caps the count: 0 disables, N allows at most N
+    matmul levels; unset = auto (read at trace time, like
     RAW_NGP_CHUNKED_SORT)."""
     import os
-    if os.environ.get("RAW_NGP_MM_LEVELS", "1") != "1":
-        return 0
     k = 0
     while k < spec.num_levels - 1 and _matmul_level(spec, k):
         k += 1
+    env = os.environ.get("RAW_NGP_MM_LEVELS", "")
+    if env:
+        k = min(int(env), k)
     return k
 
 

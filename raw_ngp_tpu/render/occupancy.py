@@ -180,6 +180,12 @@ def coarse_occupancy(bitfield, grid_size: int, cascades: int,
     dilation; dilating in cascade-ℓ cells (≥ cascade-0 cells, which set
     the radius) keeps the half-spacing guarantee conservative.
     """
+    if cascades > 1 and bound <= 0.0:
+        # _probe_occupancy hard-requires the union fold at cascades>1
+        # (single containing-cascade gather); an unfolded multi-cascade
+        # volume silently reintroduces the cascade-0 shell-dropping bug.
+        raise ValueError("coarse_occupancy needs bound > 0 when "
+                         "cascades > 1 (cross-cascade union fold)")
     hc = grid_size // 4
     words = jax.lax.bitcast_convert_type(
         bitfield.reshape(-1, 4), jnp.uint32).reshape(cascades, hc ** 3, 2)

@@ -197,3 +197,41 @@ def test_matmul_level_path_matches_window_path(monkeypatch):
                           x, spec)
     np.testing.assert_allclose(out_mm, np.asarray(want),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_matmul_level_path_matches_window_path_bf16(monkeypatch):
+    """Training runs the encoder in bfloat16, where the mm path's bf16
+    matmul gradient (single rounding) takes a different numeric route
+    than the sorted path's bf16-packed totals — compare them under the
+    bf16 tolerance already used by the window-path tests (ADVICE r3)."""
+    from raw_ngp_tpu.kernels import hash_fused as hf
+    spec = HashGridSpec.create(num_levels=2, level_dim=16,
+                               log2_hashmap_size=12,
+                               desired_resolution=256,
+                               hash_variant="additive")
+    key = jax.random.PRNGKey(31)
+    params = init_hashgrid_params(key, spec).reshape(-1)
+    x = jax.random.uniform(jax.random.fold_in(key, 1), (2048, 3))
+    gout = jax.random.normal(jax.random.fold_in(key, 2),
+                             (2048, spec.num_levels * spec.level_dim))
+
+    def run():
+        def loss(p, xx):
+            return (hash_encode_fused(p, xx, spec, False, jnp.bfloat16)
+                    .astype(jnp.float32) * gout).sum()
+        out = jax.jit(lambda p, xx: hash_encode_fused(
+            p, xx, spec, False, jnp.bfloat16))(params, x)
+        gp = jax.jit(jax.grad(loss))(params, x)
+        return np.asarray(out, np.float32), np.asarray(gp, np.float32)
+
+    monkeypatch.setenv("RAW_NGP_MM_LEVELS", "1")
+    assert hf._matmul_split(spec) == 1
+    out_mm, gp_mm = run()
+    monkeypatch.setenv("RAW_NGP_MM_LEVELS", "0")
+    assert hf._matmul_split(spec) == 0
+    out_w, gp_w = run()
+
+    oscale = np.abs(out_w).max() + 1e-12
+    np.testing.assert_allclose(out_mm, out_w, atol=1.5e-2 * oscale)
+    scale = np.abs(gp_w).max() + 1e-12
+    np.testing.assert_allclose(gp_mm, gp_w, atol=3e-2 * scale)

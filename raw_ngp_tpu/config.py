@@ -98,8 +98,11 @@ class RenderConfig:
     # (inverse-CDF of the per-ray probe hits, render/occupancy.py
     # cdf_candidates) instead of one contiguous tightened span — the
     # closer analogue of DDA skipping; lets march_candidates shrink at
-    # equal effective density. Needs coarse_probes > 0; ignored when
-    # dt_gamma > 0 (the geometric schedule defines its own spacing).
+    # equal effective density. Needs coarse_probes > 0. Composes with
+    # dt_gamma > 0: occupied intervals are then weighted by the local
+    # reference step count (spacing / clamp(t*gamma, dt_min, dt_max)),
+    # so candidate density follows the geometric schedule inside the
+    # skipping, like raymarching.cu:396-401 + :468-480 compose.
     march_cdf: bool = False
     # cross-ray sample compaction: evaluate the field only on a static
     # buffer of num_rays*K*compact_ratio points (the CSR equivalent of the

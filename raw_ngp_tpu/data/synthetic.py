@@ -49,7 +49,7 @@ def look_at_pose(eye: np.ndarray, target: np.ndarray,
     return pose
 
 
-def _trace(origins, dirs, light=None, textured=False):
+def _trace(origins, dirs, light=None, textured=False, sphere_scale=1.0):
     """Analytic ray trace of the sphere scene. origins/dirs [N, 3];
     optional per-call light direction (unit, pointing AT the scene).
     ``textured`` modulates each sphere's albedo with a lat/long checker —
@@ -60,7 +60,7 @@ def _trace(origins, dirs, light=None, textured=False):
     best_t = np.full(N, np.inf)
     color = np.zeros((N, 3))
     for s in range(len(_SPHERES)):
-        c, r = _SPHERES[s, :3], _SPHERES[s, 3]
+        c, r = _SPHERES[s, :3], _SPHERES[s, 3] * sphere_scale
         oc = origins - c
         b = np.sum(oc * dirs, axis=-1)
         cterm = np.sum(oc * oc, axis=-1) - r * r
@@ -96,6 +96,7 @@ def make_synthetic_scene(
     hdr: bool = False,
     rfield: bool = False,
     textured: bool = False,
+    sphere_scale: float = 1.0,
     seed: int = 0,
 ) -> Tuple[SceneData, SceneData]:
     """Generate (train, val) SceneData on a camera ring with two
@@ -140,7 +141,7 @@ def make_synthetic_scene(
         o = np.broadcast_to(t, d.shape)
         col, _ = _trace(o.astype(np.float64), d.astype(np.float64),
                         light=ldirs[i] if rfield else None,
-                        textured=textured)
+                        textured=textured, sphere_scale=sphere_scale)
         img = col.reshape(H, W, 3).astype(np.float32)
         if hdr:
             # simulate bracketing: the RECORDED image is scene radiance

@@ -111,8 +111,7 @@ def make_tp_train_step(cfg: Config, spec: FieldSpec, net_tx, pose_tx,
     local_rays = num_rays // n_dp
     spec_tp = dc_replace(spec, tp_axis=tp_axis, tp_devices=n_tp)
     loss_fn = make_loss_fn(cfg, spec_tp, local_rays)
-    assert cfg.pose_opt.mode == "none", \
-        "pose refinement under tp is untested; use dp-only"
+    pose_freeze_step = int(cfg.pose_opt.end_annealing * cfg.train.iters)
 
     def per_device(state: TrainState, scene, aabb):
         dp = jax.lax.axis_index(dp_axis)
@@ -124,9 +123,25 @@ def make_tp_train_step(cfg: Config, spec: FieldSpec, net_tx, pose_tx,
         k_loss = jax.random.fold_in(k_loss, dp)
         annealing = jnp.clip(state.step / cfg.train.iters, 0.0, 1.0)
 
-        (loss, aux), g_net = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, None, state, scene, aabb, k_batch, k_loss,
-            annealing, True)
+        if state.pose_params is not None:
+            (loss, aux), (g_net, g_pose) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True)(
+                    state.params, state.pose_params, state, scene, aabb,
+                    k_batch, k_loss, annealing, True)
+            # pose (se3) gradients flow through the encoder's INPUT
+            # gradient: device j's local contribution covers only its
+            # channel shard and carries the n_tp-times-too-large
+            # psum_scattered feature cotangent (module docstring), so the
+            # exact pose gradient is the tp-sum rescaled by 1/n_tp, then
+            # dp-averaged like the dp-only path (parallel/mesh.py)
+            g_pose = jax.lax.psum(g_pose, tp_axis) / n_tp
+            g_pose = jax.lax.pmean(g_pose, dp_axis)
+        else:
+            (loss, aux), g_net = jax.value_and_grad(
+                loss_fn, has_aux=True)(
+                    state.params, None, state, scene, aabb, k_batch,
+                    k_loss, annealing, True)
+            g_pose = None
 
         # the all_gather transpose summed n_tp identical feature
         # cotangents into the table gradient (module docstring)
@@ -151,9 +166,22 @@ def make_tp_train_step(cfg: Config, spec: FieldSpec, net_tx, pose_tx,
         params, ema, opt_state = net_tx.update_apply(
             g_net, state.opt_state, state.params, state.ema_params, ok=ok)
 
+        new_pose_params = state.pose_params
+        new_pose_opt = state.pose_opt_state
+        if state.pose_params is not None:
+            # annealing-window freeze, identical to parallel/mesh.py; the
+            # psum+pmean above already made g_pose bit-identical on every
+            # device, so the replicated pose step cannot drift
+            freeze = (state.step >= pose_freeze_step).astype(jnp.float32)
+            g_pose = jax.tree.map(lambda g: g * (1.0 - freeze), g_pose)
+            p_up, new_pose_opt = pose_tx.update(
+                g_pose, state.pose_opt_state, state.pose_params)
+            new_pose_params = optax.apply_updates(state.pose_params, p_up)
+
         new_state = state.replace(
             params=params, opt_state=opt_state, ema_params=ema, key=key,
-            step=state.step + 1)
+            step=state.step + 1, pose_params=new_pose_params,
+            pose_opt_state=new_pose_opt)
         metrics = {"loss": loss,
                    "num_points": jax.lax.psum(aux["num_points"], dp_axis),
                    "weights_sum": jax.lax.pmean(aux["weights_sum"],

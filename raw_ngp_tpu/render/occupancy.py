@@ -302,7 +302,8 @@ def coarse_spans(rays_o, rays_d, coarse_lin, nears, fars, bound: float,
 
 def cdf_candidates(rays_o, rays_d, coarse_lin, nears, fars, bound: float,
                    contract: bool, grid_size: int, cascades: int,
-                   n_probes: int, num_candidates: int, jitter):
+                   n_probes: int, num_candidates: int, jitter,
+                   dt_gamma: float = 0.0, max_steps: int = 1024):
     """Candidate times distributed over OCCUPIED probe intervals only.
 
     Where :func:`coarse_spans` tightens to one contiguous [tin, tout] —
@@ -313,38 +314,82 @@ def cdf_candidates(rays_o, rays_d, coarse_lin, nears, fars, bound: float,
     TPU analogue of the reference's DDA skipping (raymarching.cu:446-460),
     which never spends steps inside empty coarse cells either.
 
-    Pure static-shape VPU math: the inverse CDF is an unrolled P-term
-    count of probes with cumulative count <= floor(u) (no per-candidate
-    searches, no [N, S, P] tensor materialized).
+    With ``dt_gamma > 0`` the composition matches the reference's growing
+    step schedule INSIDE the skipping (raymarching.cu:396-401 composes
+    ``dt = clamp(t * dt_gamma, dt_min, dt_max)`` with the DDA skip at
+    :468-480): each occupied probe interval is weighted by
+    ``spacing / clamp(t_p * dt_gamma, dt_min, dt_max)`` — the number of
+    reference-march steps the interval would take — so candidate density
+    inside occupied spans follows the geometric schedule (near regions
+    dense, far regions coarse) and each candidate's Riemann width is the
+    local reference dt scaled by (needed steps / S). dt_min/dt_max mirror
+    raymarching.cu:396-397: ``2√3/max_steps`` and ``2√3·2^(cas-1)/H``.
 
-    Returns (t_cand [N, S], dt [N, 1]): dt = occupied_length / S — each
-    candidate's Riemann width. Voids contribute no absorption (sigma = 0
-    there), matching the reference semantics where dt after a DDA skip
-    stays the local step, not the skipped distance. Empty rays (no probe
-    hit) collapse every candidate to `far` (dropped by the fine march's
-    `t < far` guard) with dt = 0.
+    Pure static-shape VPU math: the inverse CDF is an unrolled P-term
+    count of probes with cumulative weight <= u (no per-candidate
+    searches, no [N, S, P] tensor materialized); the weighted form also
+    accumulates the cumulative-weight-before and the containing probe's
+    weight in the same unrolled pass.
+
+    Returns (t_cand [N, S], dt): dt is [N, 1] (uniform weights) or
+    [N, S] (dt_gamma > 0) — each candidate's Riemann width. Voids
+    contribute no absorption (sigma = 0 there), matching the reference
+    semantics where dt after a DDA skip stays the local step, not the
+    skipped distance. Empty rays (no probe hit) collapse every candidate
+    to `far` (dropped by the fine march's `t < far` guard) with dt = 0.
     """
-    occ, _, spacing = _probe_occupancy(
+    occ, t_probe, spacing = _probe_occupancy(
         rays_o, rays_d, coarse_lin, nears, fars, bound, contract,
         grid_size, cascades, n_probes)
-    # per-ray inclusive cumulative probe-hit count, P-major (the minor
-    # axis is the slow cumsum direction on TPU)
-    Wt = jnp.cumsum(occ.astype(jnp.int32).T, axis=0)        # [P, N]
-    w = Wt[-1][:, None].astype(jnp.float32)                 # [N, 1]
     S = num_candidates
     steps = jnp.arange(S, dtype=jnp.float32)[None, :]       # [1, S]
+
+    if dt_gamma <= 0.0:
+        # per-ray inclusive cumulative probe-hit count, P-major (the
+        # minor axis is the slow cumsum direction on TPU)
+        Wt = jnp.cumsum(occ.astype(jnp.int32).T, axis=0)    # [P, N]
+        w = Wt[-1][:, None].astype(jnp.float32)             # [N, 1]
+        u = (steps + jitter) * (w / S)                      # [N, S)
+        j_occ = jnp.floor(u)                                # occupied ordinal
+        # probe index of the (j_occ+1)-th occupied interval: count probes
+        # whose cumulative count hasn't passed j_occ yet (unrolled over P
+        # — 32 fused [N, S] compares, no [N, S, P] intermediate)
+        j32 = j_occ.astype(jnp.int32)
+        p_idx = jnp.zeros(u.shape, jnp.int32)
+        for p in range(n_probes):
+            p_idx = p_idx + (Wt[p][:, None] <= j32).astype(jnp.int32)
+        frac = u - j_occ
+        t_cand = nears + (p_idx.astype(jnp.float32) + frac) * spacing
+        dt = spacing * w / S                                # [N, 1]
+        return t_cand, dt
+
+    sqrt3 = 1.7320508075688772
+    dt_min = 2.0 * sqrt3 / max_steps
+    dt_max = 2.0 * sqrt3 * (2.0 ** (cascades - 1)) / grid_size
+    dt_ref = jnp.clip(t_probe * dt_gamma, dt_min, dt_max)   # [N, P]
+    wv = jnp.where(occ, spacing / dt_ref, 0.0)              # steps needed
+    Wt = jnp.cumsum(wv.T, axis=0)                           # [P, N]
+    w = Wt[-1][:, None]                                     # [N, 1] total
     u = (steps + jitter) * (w / S)                          # [N, S)
-    j_occ = jnp.floor(u)                                    # occupied-interval ordinal
-    # probe index of the (j_occ+1)-th occupied interval: count probes
-    # whose cumulative count hasn't passed j_occ yet (unrolled over P —
-    # 32 fused [N, S] compares, no [N, S, P] intermediate)
-    j32 = j_occ.astype(jnp.int32)
     p_idx = jnp.zeros(u.shape, jnp.int32)
+    cw_before = jnp.zeros(u.shape, jnp.float32)             # weight < probe
+    w_at = jnp.zeros(u.shape, jnp.float32)                  # containing w
     for p in range(n_probes):
-        p_idx = p_idx + (Wt[p][:, None] <= j32).astype(jnp.int32)
-    frac = u - j_occ
+        wt_p = Wt[p][:, None]                               # incl. cumweight
+        wv_p = wv.T[p][:, None]                             # probe weight
+        before = wt_p <= u
+        p_idx = p_idx + before.astype(jnp.int32)
+        cw_before = cw_before + jnp.where(before, wv_p, 0.0)
+        w_at = w_at + jnp.where(
+            (wt_p > u) & (wt_p - wv_p <= u), wv_p, 0.0)
+    frac = jnp.clip((u - cw_before) / jnp.maximum(w_at, 1e-12),
+                    0.0, 1.0 - 1e-6)
     t_cand = nears + (p_idx.astype(jnp.float32) + frac) * spacing
-    dt = spacing * w / S                                    # [N, 1]
+    # local candidate density in probe p is (S/w)/dt_ref_p; each
+    # candidate's width is its inverse. w_at = spacing/dt_ref_p for the
+    # containing probe, so dt = spacing*w/(S*w_at) = dt_ref_p * w/S.
+    dt = jnp.where(w_at > 0.0,
+                   spacing * w / (S * jnp.maximum(w_at, 1e-12)), 0.0)
     return t_cand, dt
 
 
@@ -373,7 +418,7 @@ def march_rays(
     else:
         jitter = 0.5
 
-    use_cdf = march_cdf and coarse_probes > 0 and dt_gamma == 0.0
+    use_cdf = march_cdf and coarse_probes > 0
     if coarse_probes > 0:
         coarse_lin = coarse_occupancy(
             bitfield, grid_size, cascades,
@@ -382,7 +427,8 @@ def march_rays(
         if use_cdf:
             t_cand, dt = cdf_candidates(
                 rays_o, rays_d, coarse_lin, nears, fars, bound, contract,
-                grid_size, cascades, coarse_probes, S, jitter)
+                grid_size, cascades, coarse_probes, S, jitter,
+                dt_gamma=dt_gamma)
         else:
             nears, fars = coarse_spans(
                 rays_o, rays_d, coarse_lin, nears, fars, bound, contract,

@@ -236,6 +236,106 @@ def test_cdf_candidates_land_only_in_occupied_intervals():
     np.testing.assert_allclose(dt, spacing * w / S, rtol=1e-5)
 
 
+def test_cdf_composes_with_dt_gamma():
+    """VERDICT r3 #6: the CDF march must compose with the growing-dt
+    schedule the way the reference composes DDA skipping with
+    dt = clamp(t*gamma, dt_min, dt_max) (raymarching.cu:396-401 +
+    :468-480): candidates land ONLY in occupied probe intervals AND
+    their density inside those intervals follows the geometric schedule
+    (count per interval proportional to spacing/clamp(t*gamma, ...))."""
+    gs, bound, P, S = 32, 1.0, 32, 128
+    gamma = 0.02        # keeps t*gamma inside (dt_min, dt_max) everywhere
+    bitfield = _two_slab_scene(gs)
+    N = 48
+    ro = jnp.stack([jnp.full((N,), -0.9),
+                    jnp.linspace(-0.6, 0.6, N),
+                    jnp.linspace(0.6, -0.6, N)], axis=-1)
+    rd = jnp.tile(jnp.array([[1.0, 0.0, 0.0]]), (N, 1))
+    nears = jnp.full((N, 1), 0.05)
+    fars = jnp.full((N, 1), 2.5)
+
+    from raw_ngp_tpu.render.occupancy import (
+        cdf_candidates, coarse_occupancy, _coarse_dilate_radius,
+        _probe_occupancy)
+    r = _coarse_dilate_radius(bound, gs, P)
+    coarse = coarse_occupancy(bitfield, gs, 1, r, bound=bound)
+    t_cand, dt = cdf_candidates(ro, rd, coarse, nears, fars, bound,
+                                False, gs, 1, P, S, 0.5, dt_gamma=gamma)
+    t_cand, dt = np.asarray(t_cand), np.asarray(dt)
+    assert dt.shape == (N, S)           # per-candidate widths now
+
+    occ, t_probe, spacing = _probe_occupancy(
+        ro, rd, coarse, nears, fars, bound, False, gs, 1, P)
+    occ, t_probe = np.asarray(occ), np.asarray(t_probe)
+    spacing = np.asarray(spacing)
+    nears_n, fars_n = np.asarray(nears), np.asarray(fars)
+
+    live = t_cand < fars_n - 1e-6
+    p_of = np.clip(((t_cand - nears_n) / spacing).astype(int), 0, P - 1)
+    hit_occ = np.take_along_axis(occ, p_of, axis=1)
+    assert hit_occ[live].all(), "candidate outside an occupied interval"
+
+    # expected per-probe candidate count: S * w_p / W with
+    # w_p = occ * spacing / clamp(t_p * gamma, dt_min, dt_max)
+    sqrt3 = np.sqrt(3.0)
+    dt_min, dt_max = 2 * sqrt3 / 1024, 2 * sqrt3 / gs
+    dt_ref = np.clip(t_probe * gamma, dt_min, dt_max)      # [N, P]
+    wv = np.where(occ, spacing / dt_ref, 0.0)
+    W = wv.sum(axis=1, keepdims=True)
+    expected = S * wv / W                                   # [N, P]
+    counts = np.zeros((N, P))
+    for p in range(P):
+        counts[:, p] = ((p_of == p) & live).sum(axis=1)
+    # integer allocation of a fractional target: off by at most 1+slack
+    np.testing.assert_allclose(counts, expected, atol=1.5)
+
+    # per-candidate width equals the local reference dt scaled by W/S
+    dt_expect = np.take_along_axis(dt_ref, p_of, axis=1) * W / S
+    np.testing.assert_allclose(dt[live], dt_expect[live], rtol=1e-4)
+
+    # the point of dt_gamma: near candidates are denser (smaller widths)
+    # than far ones — mean width among the near slab's candidates is
+    # smaller than among the far slab's by ~t_near/t_far
+    near_c = live & (t_cand < 1.25)
+    far_c = live & (t_cand > 1.4)
+    assert near_c.any() and far_c.any()
+    assert dt[near_c].mean() < 0.8 * dt[far_c].mean()
+
+
+def test_march_cdf_active_under_dt_gamma():
+    """use_cdf no longer requires dt_gamma == 0 (render/occupancy.py):
+    with march_cdf + probes + dt_gamma the march skips the void between
+    slabs (a span march spends candidates there) and returns growing
+    per-sample deltas."""
+    from raw_ngp_tpu.render.occupancy import march_rays as _march
+    gs, bound = 32, 1.0
+    bitfield = _two_slab_scene(gs)
+    N = 16
+    ro = jnp.stack([jnp.full((N,), -0.9),
+                    jnp.linspace(-0.3, 0.3, N),
+                    jnp.zeros((N,))], axis=-1)
+    rd = jnp.tile(jnp.array([[1.0, 0.0, 0.0]]), (N, 1))
+    nears = jnp.full((N, 1), 0.05)
+    fars = jnp.full((N, 1), 2.5)
+
+    m = _march(ro, rd, bitfield, nears, fars, bound, False, gs, 1,
+               64, 64, dt_gamma=0.05, coarse_probes=32, march_cdf=True)
+    ts = np.asarray(m["ts"])
+    mask = np.asarray(m["mask"])
+    deltas = np.asarray(m["deltas"])
+    assert mask.any(axis=1).all()
+    # no kept sample in the void between the slabs (x in (0.4, 0.55))
+    xs = np.asarray(ro)[:, :1] + ts
+    in_void = (xs > 0.42) & (xs < 0.52) & mask
+    assert not in_void.any()
+    # deltas grow with t among kept samples of one ray (clamps aside)
+    row = mask[0]
+    d0 = deltas[0][row]
+    t0 = ts[0][row]
+    order = np.argsort(t0)
+    assert d0[order][-1] >= d0[order][0]
+
+
 def test_cdf_march_matches_span_march_render():
     """End-to-end render equivalence at saturating candidate counts: the
     CDF march and the span march integrate the same field, so weights_sum

@@ -5,6 +5,13 @@ golden (test_golden.py) does not cover this composition — a
 rendering-math regression in the occupancy+fused path previously could
 only be caught by the TPU-only bench PSNR floor.
 
+v2 (VERDICT r3 #5): pins the SHIPPED march composition — S == K (the
+early-return no-scatter path at render/occupancy.py march_rays),
+march_cdf + coarse probes (inverse-CDF candidate placement), and
+composite_rays_compacted on the compacted stream — scaled down like
+before. The v1 golden used S=96/K=24, which exercised the compaction
+scatter branch the flagship no longer takes.
+
 Regenerate after INTENTIONAL rendering-math changes with:
   PYTHONPATH=. python tests/test_golden_occupancy.py regenerate
 """
@@ -16,7 +23,7 @@ from dataclasses import replace
 import numpy as np
 
 GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "golden",
-                           "occupancy_render_v1.npy")
+                           "occupancy_render_v2.npy")
 
 
 def _train_and_render():
@@ -34,13 +41,22 @@ def _train_and_render():
     cfg = replace(cfg, model=replace(
         cfg.model, log2_hashmap_size=12,
         hashgrid_resolution=64, grid_mlp_hidden=16, view_mlp_hidden=16))
+    # S == K + march_cdf + probes: the flagship march composition (the
+    # with_tpu_profile() preset sets march_cdf=True, coarse_probes=32;
+    # S == K takes the early-return no-scatter path and the default
+    # compact_ratio routes compositing through composite_rays_compacted)
     cfg = replace(cfg, render=replace(
-        cfg.render, grid_size=32, samples_per_ray=24, march_candidates=96,
+        cfg.render, grid_size=32, samples_per_ray=24, march_candidates=24,
         max_ray_batch=4096))
     cfg = replace(cfg, train=replace(
         cfg.train, iters=150, num_rays=512, seed=0, fp16=False,
         adaptive_num_rays=False))
     cfg = replace(cfg, ckpt="scratch").validate()
+    # the golden must pin the shipped march composition — fail loudly if
+    # a preset change silently reroutes it to another branch
+    assert (cfg.render.samples_per_ray == cfg.render.march_candidates
+            and cfg.render.march_cdf and cfg.render.coarse_probes > 0
+            and cfg.render.compact_ratio > 0), "not the flagship branch"
     train_scene, val_scene = make_synthetic_scene(n_train=12, n_val=1,
                                                   H=32, W=32, seed=0)
     tr = Trainer(cfg, train_scene, val_scene,

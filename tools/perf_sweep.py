@@ -33,7 +33,9 @@ def run_variant(march_candidates: int, coarse_probes: int,
                 iters: int = 480, timed: int = 192,
                 march_cdf: bool = False, samples_per_ray: int = 0,
                 compact_ratio: float = 0.0,
-                grid_partial_fraction: float = 0.0):
+                grid_partial_fraction: float = 0.0,
+                sphere_scale: float = 1.0,
+                max_num_rays: int = 0):
     # NOTE: both the warmup and the timed window must be MULTIPLES of the
     # scan-dispatch chunk (update_extra_interval = 16): a remainder would
     # compile the single-step executable inside the timed window (~45 s
@@ -67,9 +69,15 @@ def run_variant(march_candidates: int, coarse_probes: int,
         # 4 x C8 is M/2) at some multiresolution-ladder quality risk
         cfg = replace(cfg, model=replace(
             cfg.model, num_levels=num_levels, level_dim=level_dim))
+    if max_num_rays:
+        # VERDICT r4 #7: let adaptive growth run past the default 4x cap
+        # on sparse scenes (tighter occupancy -> more rays at constant
+        # point budget is the cheapest throughput lever)
+        cfg = replace(cfg, train=replace(cfg.train,
+                                         max_num_rays=max_num_rays))
     cfg = cfg.validate()
-    train_scene, val_scene = make_synthetic_scene(n_train=36, n_val=2,
-                                                  H=128, W=128)
+    train_scene, val_scene = make_synthetic_scene(
+        n_train=36, n_val=2, H=128, W=128, sphere_scale=sphere_scale)
     tag = (f"{march_candidates}_{coarse_probes}"
            f"{'_cdf' if march_cdf else ''}"
            f"{f'_L{num_levels}C{level_dim}' if num_levels else ''}"
@@ -91,6 +99,9 @@ def run_variant(march_candidates: int, coarse_probes: int,
         "march_cdf": march_cdf,
         "rays_per_sec": round(r["rays_per_sec"], 1),
         "ms_per_step": round(1e3 * r["wall_time"] / timed, 1),
+        "num_rays_settled": tr.num_rays,
+        "live_pts_per_step": (round(float(tr._pts_ema), 1)
+                              if tr._pts_ema is not None else None),
         "psnr_trainview": round(-10.0 * np.log10(mse + 1e-12), 3),
         "psnr_heldout": round(held, 3),
     }
@@ -110,6 +121,11 @@ def main():
     # 620 "ms/step" rows that were really one compile + fast steps).
     ap.add_argument("--iters", type=int, default=672)
     ap.add_argument("--timed", type=int, default=192)
+    ap.add_argument("--sphere_scale", type=float, default=1.0,
+                    help="shrink the scene geometry (sparser occupancy; "
+                         "VERDICT r4 #7 adaptive ray-growth study)")
+    ap.add_argument("--max_num_rays", type=int, default=0,
+                    help="raise the adaptive growth cap (default 4x base)")
     args = ap.parse_args()
     assert args.timed % 16 == 0 and (args.iters - args.timed) % 16 == 0
     os.environ.setdefault("RAW_NGP_COMPILE_CACHE", "/tmp/raw_ngp_jax_cache")
@@ -131,7 +147,9 @@ def main():
         rec = run_variant(mc, cp, L, C, march_cdf=cdf,
                           samples_per_ray=K, compact_ratio=ratio,
                           grid_partial_fraction=pf,
-                          iters=args.iters, timed=args.timed)
+                          iters=args.iters, timed=args.timed,
+                          sphere_scale=args.sphere_scale,
+                          max_num_rays=args.max_num_rays)
         if pf:
             rec["grid_partial_fraction"] = pf
         if K:

@@ -37,6 +37,12 @@ def main():
     ap.add_argument("--levels", type=int, default=0,
                     help="override model num_levels (with --level_dim)")
     ap.add_argument("--level_dim", type=int, default=0)
+    ap.add_argument("--hash", default="",
+                    help="override hash_variant (e.g. xor for the "
+                         "reference-shape 16x2 A/B, network.py:47-49)")
+    ap.add_argument("--res", type=int, default=128,
+                    help="scene H=W resolution (VERDICT r4: prove the "
+                         "2-level grid holds at >=256^2)")
     ap.add_argument("--march", default="",
                     help="override march shape, mc:cp[:cdf] "
                          "(e.g. 128:32:cdf)")
@@ -59,6 +65,9 @@ def main():
     if args.levels:
         cfg = replace(cfg, model=replace(cfg.model, num_levels=args.levels,
                                          level_dim=args.level_dim))
+    if args.hash:
+        cfg = replace(cfg, model=replace(cfg.model,
+                                         hash_variant=args.hash))
     if args.march:
         toks = args.march.split(":")
         cdf = toks[-1] == "cdf"
@@ -68,7 +77,8 @@ def main():
             march_cdf=cdf))
     cfg = cfg.validate()
     train_scene, val_scene = make_synthetic_scene(
-        n_train=36, n_val=2, H=128, W=128, textured=args.textured)
+        n_train=36, n_val=2, H=args.res, W=args.res,
+        textured=args.textured)
     tr = Trainer(cfg, train_scene, val_scene, workspace="/tmp/quality_ws")
 
     curve = []

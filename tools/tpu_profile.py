@@ -286,6 +286,70 @@ def step(num_rays: int = 8192):
     t_march = timeit(jax.jit(march), tr.state.density_bitfield, n=10)
     print(f"march_rays:            {t_march*1e3:8.1f} ms")
 
+    # march interior: probe/CDF block alone (the candidate generator)
+    from raw_ngp_tpu.render.occupancy import (
+        cdf_candidates, coarse_occupancy, _coarse_dilate_radius)
+    P_n = cfg.render.coarse_probes
+    if P_n > 0:
+        def probe_cdf(bf):
+            cl = coarse_occupancy(
+                bf, cfg.render.grid_size, cfg.cascades,
+                _coarse_dilate_radius(cfg.render.bound,
+                                      cfg.render.grid_size, P_n),
+                bound=cfg.render.bound)
+            tc, dt = cdf_candidates(
+                ro, rd, cl, nears, fars, cfg.render.bound,
+                cfg.render.contract, cfg.render.grid_size, cfg.cascades,
+                P_n, cfg.render.march_candidates, 0.5,
+                dt_gamma=cfg.render.dt_gamma)
+            return tc.sum() + dt.sum()
+        t_pc = timeit(jax.jit(probe_cdf), tr.state.density_bitfield, n=10)
+        print(f"probe+cdf block:       {t_pc*1e3:8.1f} ms")
+
+    # compact pipeline alone: mask -> compact_positions -> the gathers
+    from raw_ngp_tpu.render.occupancy import (
+        compact_positions, gather_flat_sorted, gather_ray_rows)
+    K_ = cfg.render.samples_per_ray
+    m_pad = max(int(N * cfg.render.samples_per_ray
+                    * cfg.render.compact_ratio) // 128 * 128, 128)
+    mask0 = jax.random.uniform(jax.random.fold_in(key, 20),
+                               (N, K_)) < cfg.render.compact_ratio
+    ts0 = jnp.abs(jax.random.normal(jax.random.fold_in(key, 21), (N, K_)))
+
+    def compact_block(mask_in, ts_in):
+        kept, inv, pos = compact_positions(mask_in, m_pad)
+        t_c = gather_flat_sorted(ts_in.reshape(-1), pos)
+        filled = pos < N * K_
+        rid = jnp.where(filled, jnp.minimum(pos, N * K_ - 1) // K_, N)
+        odl = gather_ray_rows(
+            jnp.concatenate([jnp.concatenate([ro, jnp.zeros((1, 3))]),
+                             jnp.concatenate([rd, jnp.zeros((1, 3))])],
+                            axis=1), rid)
+        return t_c.sum() + odl.sum() + kept.sum()
+
+    t_cp = timeit(jax.jit(compact_block), mask0, ts0, n=10)
+    print(f"compact+gathers:       {t_cp*1e3:8.1f} ms")
+
+    # compacted composite alone at the m_pad stream
+    from raw_ngp_tpu.ops.compositing import composite_rays_compacted
+    kept0, inv0, pos0 = jax.jit(
+        lambda m: compact_positions(m, m_pad))(mask0)
+    filled0 = pos0 < N * K_
+    rid0 = jnp.where(filled0, jnp.minimum(pos0, N * K_ - 1) // K_, N)
+    counts0 = kept0.sum(axis=-1)
+    sig0 = jnp.abs(jax.random.normal(jax.random.fold_in(key, 22), (m_pad,)))
+    rgb0 = jax.random.uniform(jax.random.fold_in(key, 23), (m_pad, 3))
+    tc0 = gather_flat_sorted(ts0.reshape(-1), pos0)
+    dt0 = jnp.full((m_pad,), 0.01, jnp.float32)
+
+    def comp(sig, rgb):
+        o = composite_rays_compacted(sig, rgb, tc0, dt0, rid0, filled0,
+                                     counts0, N)
+        return o["image"].sum() + o["depth"].sum()
+
+    t_cc = timeit(jax.jit(comp), sig0, rgb0, n=10)
+    print(f"compacted composite:   {t_cc*1e3:8.1f} ms")
+
     # hash encode fwd / fwd+bwd at the compacted point budget
     from raw_ngp_tpu.kernels.hash_fused import hash_encode_fused
     P = 1 << 18

@@ -65,13 +65,17 @@ def main():
     # let the adaptive batch SETTLE: growth respecializes the executable
     # and changes num_rays; timing across that transition mixes two batch
     # sizes (and, on a cold remote cache, hides a recompile inside the
-    # window). Done when (num_rays, point budget) holds for 3 intervals.
-    settle_budget = 24
-    stable = 0
-    while stable < 3 and settle_budget > 0:
+    # window). Growth keys off the live-sample EMA, which keeps falling
+    # as the occupancy grid prunes — on this scene it historically fires
+    # around step 400-450, i.e. WELL AFTER warmup — so stability alone
+    # is not enough: require BOTH >= 6 unchanged intervals AND >= 18
+    # settle intervals total (window opens no earlier than step ~576),
+    # with a hard cap so a never-settling config still terminates.
+    stable = settled = 0
+    while settled < 36 and (stable < 6 or settled < 18):
         before = (tr.num_rays, tr._point_budget)
         tr.train(iters=interval, log_every=10 ** 9)
-        settle_budget -= 1
+        settled += 1
         stable = stable + 1 if (tr.num_rays, tr._point_budget) == before \
             else 0
 

@@ -390,13 +390,18 @@ class Config:
         while being fastest. 5k-step curves match: 64:32 = 37.9 train /
         34.9-35.4 held-out vs 128:32's 37.6 / 35.5 (earlier round-3b
         sweeps that showed a held-out penalty for 64:32 were measuring
-        the eps-1e-8 instability, not the sampling)."""
+        the eps-1e-8 instability, not the sampling).
+
+        Probes: 16 (round-4 sweep at the settled 16384-ray batch,
+        honest trainer-meter timing): 64:16 = 386.9k rays/s @ 42.3 ms,
+        PSNR 35.35 / 34.38 vs 64:32's 367.3k @ 44.6, 35.31 / 34.39 —
+        half the probe gathers, identical quality."""
         return replace(
             self,
             model=replace(self.model, num_levels=2, level_dim=16,
                           hash_variant="additive"),
             render=replace(self.render, march_candidates=64,
-                           coarse_probes=32, march_cdf=True))
+                           coarse_probes=16, march_cdf=True))
 
     def with_pose_opt(self, mode: str, num_cameras: int) -> "Config":
         """Pose refinement rewires batching (reference main.py:160-172)."""

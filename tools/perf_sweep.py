@@ -35,7 +35,9 @@ def run_variant(march_candidates: int, coarse_probes: int,
                 compact_ratio: float = 0.0,
                 grid_partial_fraction: float = 0.0,
                 sphere_scale: float = 1.0,
-                max_num_rays: int = 0):
+                max_num_rays: int = 0,
+                dt_gamma: float = 0.0,
+                contract: bool = False):
     # NOTE: both the warmup and the timed window must be MULTIPLES of the
     # scan-dispatch chunk (update_extra_interval = 16): a remainder would
     # compile the single-step executable inside the timed window (~45 s
@@ -75,6 +77,15 @@ def run_variant(march_candidates: int, coarse_probes: int,
         # point budget is the cheapest throughput lever)
         cfg = replace(cfg, train=replace(cfg.train,
                                          max_num_rays=max_num_rays))
+    if dt_gamma or contract:
+        # VERDICT r4 #6 quality gate: the unbounded/contracted regime
+        # where real captures live (bound > 1, growing dt), with or
+        # without the CDF composition
+        cfg = replace(cfg, render=replace(
+            cfg.render, dt_gamma=dt_gamma,
+            contract=contract or cfg.render.contract,
+            bound=2.0 if contract else cfg.render.bound,
+            mark_untrained=False if contract else cfg.render.mark_untrained))
     cfg = cfg.validate()
     train_scene, val_scene = make_synthetic_scene(
         n_train=36, n_val=2, H=128, W=128, sphere_scale=sphere_scale)
@@ -126,6 +137,10 @@ def main():
                          "VERDICT r4 #7 adaptive ray-growth study)")
     ap.add_argument("--max_num_rays", type=int, default=0,
                     help="raise the adaptive growth cap (default 4x base)")
+    ap.add_argument("--dt_gamma", type=float, default=0.0,
+                    help="growing-dt schedule (composes with march_cdf)")
+    ap.add_argument("--contract", action="store_true",
+                    help="MeRF contraction at bound=2 (cascades=2)")
     args = ap.parse_args()
     assert args.timed % 16 == 0 and (args.iters - args.timed) % 16 == 0
     os.environ.setdefault("RAW_NGP_COMPILE_CACHE", "/tmp/raw_ngp_jax_cache")
@@ -149,7 +164,8 @@ def main():
                           grid_partial_fraction=pf,
                           iters=args.iters, timed=args.timed,
                           sphere_scale=args.sphere_scale,
-                          max_num_rays=args.max_num_rays)
+                          max_num_rays=args.max_num_rays,
+                          dt_gamma=args.dt_gamma, contract=args.contract)
         if pf:
             rec["grid_partial_fraction"] = pf
         if K:

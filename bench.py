@@ -65,14 +65,14 @@ def main():
     # let the adaptive batch SETTLE: growth respecializes the executable
     # and changes num_rays; timing across that transition mixes two batch
     # sizes (and, on a cold remote cache, hides a recompile inside the
-    # window). Growth keys off the live-sample EMA, which keeps falling
-    # as the occupancy grid prunes — on this scene it historically fires
-    # around step 400-450, i.e. WELL AFTER warmup — so stability alone
-    # is not enough: require BOTH >= 6 unchanged intervals AND >= 18
-    # settle intervals total (window opens no earlier than step ~576),
-    # with a hard cap so a never-settling config still terminates.
+    # window). Growth keys off the live-sample EMA, which keeps FALLING
+    # as the occupancy grid prunes, so it can fire hundreds of steps
+    # after warmup — interval-count heuristics twice opened the window
+    # too early. Settle until the trainer itself reports no adaptation
+    # within margin of firing AND 6 unchanged intervals, with a hard cap
+    # so a never-settling config still terminates (flagged in extra).
     stable = settled = 0
-    while settled < 36 and (stable < 6 or settled < 18):
+    while settled < 90 and (stable < 6 or not tr.adaptation_quiescent()):
         before = (tr.num_rays, tr._point_budget)
         tr.train(iters=interval, log_every=10 ** 9)
         settled += 1

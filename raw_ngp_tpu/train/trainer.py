@@ -716,6 +716,28 @@ class Trainer:
             f"[train] adaptive batch -> num_rays {num_rays}, point "
             f"budget {budget} (live pts/step ~{self._pts_ema:.0f})")
 
+    def adaptation_quiescent(self, margin: float = 1.1) -> bool:
+        """True when no adaptive-batch respecialization is plausibly
+        pending: ray growth keys off the live-sample EMA, which keeps
+        FALLING as the occupancy grid prunes, so a benchmark cannot just
+        wait for N unchanged intervals — it must also check that the
+        growth criterion (_adapt_batch: pts_ema * 2 <= 0.9 * budget) is
+        not within ``margin`` of firing at the current EMA."""
+        cfg = self.cfg
+        if not (cfg.train.adaptive_num_rays and cfg.render.occupancy
+                and cfg.render.compact_ratio > 0):
+            return True
+        if self._pts_ema is None:
+            return False
+        base_budget = max(
+            int(cfg.train.num_rays * cfg.render.samples_per_ray
+                * cfg.render.compact_ratio) // 128 * 128, 128)
+        cap = cfg.train.max_num_rays or 4 * cfg.train.num_rays
+        growth_pending = (
+            self.num_rays * 2 <= cap
+            and self._pts_ema * 2.0 <= margin * 0.9 * base_budget)
+        return not growth_pending
+
     def train(self, iters: Optional[int] = None, log_every: int = 100):
         iters = iters or self.cfg.train.iters
         t0 = time.time()

@@ -42,7 +42,7 @@ def _train_and_render():
         cfg.model, log2_hashmap_size=12,
         hashgrid_resolution=64, grid_mlp_hidden=16, view_mlp_hidden=16))
     # S == K + march_cdf + probes: the flagship march composition (the
-    # with_tpu_profile() preset sets march_cdf=True, coarse_probes=32;
+    # with_tpu_profile() preset sets march_cdf=True, coarse_probes=16;
     # S == K takes the early-return no-scatter path and the default
     # compact_ratio routes compositing through composite_rays_compacted)
     cfg = replace(cfg, render=replace(

@@ -251,3 +251,32 @@ def test_cli_trains_on_cpu_mesh(tmp_path):
     # fit ran to completion on the mesh and left artifacts behind
     import os
     assert os.path.isdir(os.path.join(str(tmp_path), "checkpoints"))
+
+
+def test_adaptation_quiescent_predicate(tmp_path):
+    """bench.py's settle phase asks the Trainer whether adaptive growth
+    is still plausibly pending (growth keys off the falling live-sample
+    EMA; two round-4 bench runs opened the timed window early on
+    interval-count heuristics)."""
+    cfg = tiny_cfg(True)   # occupancy + compact_ratio default > 0
+    cfg = replace(cfg, train=replace(cfg.train, adaptive_num_rays=True))
+    train_scene, val_scene = make_synthetic_scene(
+        n_train=4, n_val=1, H=16, W=16)
+    tr = Trainer(cfg, train_scene, val_scene, workspace=str(tmp_path))
+    base_budget = max(int(cfg.train.num_rays * cfg.render.samples_per_ray
+                          * cfg.render.compact_ratio) // 128 * 128, 128)
+    # no reading yet -> cannot be called settled
+    assert tr._pts_ema is None and not tr.adaptation_quiescent()
+    # saturated live count -> growth cannot fire
+    tr._pts_ema = 0.9 * base_budget
+    assert tr.adaptation_quiescent()
+    # low live count -> growth pending (with margin)
+    tr._pts_ema = 0.3 * base_budget
+    assert not tr.adaptation_quiescent()
+    # within the margin band just above the firing threshold -> pending
+    tr._pts_ema = 0.5 * 0.9 * base_budget * 1.05
+    assert not tr.adaptation_quiescent()
+    # rays already at cap -> quiescent regardless of the EMA
+    tr.num_rays = cfg.train.max_num_rays or 4 * cfg.train.num_rays
+    tr._pts_ema = 0.3 * base_budget
+    assert tr.adaptation_quiescent()

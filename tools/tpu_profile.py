@@ -212,7 +212,7 @@ def micro():
         print(f"  {name}: {dt*1e3:8.2f} ms ({dt/Mx*1e9:6.2f} ns/slice)")
 
 
-def step(num_rays: int = 8192):
+def step(num_rays: int = 8192, point_budget: int = 0):
     import jax
     import jax.numpy as jnp
     from dataclasses import replace
@@ -225,6 +225,13 @@ def step(num_rays: int = 8192):
     cfg = Config().with_preset_O().with_tpu_profile()
     cfg = replace(cfg, train=replace(cfg.train, fp16=True,
                                      num_rays=num_rays))
+    if point_budget:
+        # the SETTLED trainer runs grown rays at the BASE-anchored point
+        # budget (render_occupancy m_pad anchors to cfg.train.num_rays,
+        # which adaptive growth leaves at 8192 → 262144); without this a
+        # --rays 16384 profile silently measures a 2x-budget step
+        cfg = replace(cfg, render=replace(cfg.render,
+                                          point_budget=point_budget))
     cfg = cfg.validate()
     train_scene, val_scene = make_synthetic_scene(n_train=36, n_val=2,
                                                   H=128, W=128)
@@ -310,8 +317,10 @@ def step(num_rays: int = 8192):
     from raw_ngp_tpu.render.occupancy import (
         compact_positions, gather_flat_sorted, gather_ray_rows)
     K_ = cfg.render.samples_per_ray
-    m_pad = max(int(N * cfg.render.samples_per_ray
-                    * cfg.render.compact_ratio) // 128 * 128, 128)
+    m_pad = (max(cfg.render.point_budget // 128 * 128, 128)
+             if cfg.render.point_budget else
+             max(int(N * cfg.render.samples_per_ray
+                     * cfg.render.compact_ratio) // 128 * 128, 128))
     mask0 = jax.random.uniform(jax.random.fold_in(key, 20),
                                (N, K_)) < cfg.render.compact_ratio
     ts0 = jnp.abs(jax.random.normal(jax.random.fold_in(key, 21), (N, K_)))
@@ -367,8 +376,10 @@ def step(num_rays: int = 8192):
 
     # field (encode+MLPs) fwd / fwd+bwd on the m_pad compact batch
     from raw_ngp_tpu.models.ngp import field_forward
-    m_pad = max(int(N * cfg.render.samples_per_ray
-                    * cfg.render.compact_ratio) // 128 * 128, 128)
+    m_pad = (max(cfg.render.point_budget // 128 * 128, 128)
+             if cfg.render.point_budget else
+             max(int(N * cfg.render.samples_per_ray
+                     * cfg.render.compact_ratio) // 128 * 128, 128))
     xc = jax.random.uniform(jax.random.fold_in(key, 9), (m_pad, 3),
                             minval=-1, maxval=1)
     dc = jax.random.normal(jax.random.fold_in(key, 10), (m_pad, 3))
@@ -474,8 +485,12 @@ if __name__ == "__main__":
     ap.add_argument("--rays", type=int, default=8192,
                     help="num_rays for step mode (bench runs 16384 after "
                          "adaptive growth)")
+    ap.add_argument("--budget", type=int, default=0,
+                    help="compacted point budget override (the settled "
+                         "trainer runs 16384 rays at the base-anchored "
+                         "262144, not rays*K*ratio)")
     a = ap.parse_args()
     if a.mode == "step":
-        step(a.rays)
+        step(a.rays, a.budget)
     else:
         {"micro": micro, "loop": loop, "bisect": bisect}[a.mode]()

@@ -270,8 +270,6 @@ def _probe_occupancy(rays_o, rays_d, coarse_lin, nears, fars,
     # fall off the fast gather path (CLAUDE.md layout rule)
     hit = coarse_lin[idx.reshape(-1)].reshape(idx.shape)
     occ = hit > 0
-    if contract:
-        occ = occ | (mag > 1.0)
     occ = occ & (t < fars)
     return occ, t, spacing
 

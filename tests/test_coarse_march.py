@@ -407,3 +407,45 @@ def test_outer_cascade_content_seen_by_inner_probes():
     assert full_hits.any()                       # geometry is visible
     np.testing.assert_array_equal(coarse_hits[full_hits],
                                   np.ones(full_hits.sum(), bool))
+
+
+def test_contracted_probes_skip_empty_outer_cells():
+    """Regression for the round-4 contracted-CDF held-out collapse: a
+    pre-union-fold conservatism forced every mag>1 probe occupied under
+    contraction, so the dt_gamma CDF weighting (1/t favors near probes)
+    concentrated candidates in the EMPTY outside-cube region near the
+    camera. With the fold, outer probes must test real cascade-1
+    occupancy — empty outer space reports unoccupied (away from the
+    dilated neighborhood of content) while in-cube content stays
+    detectable."""
+    from raw_ngp_tpu.render.occupancy import _probe_occupancy
+    gs, cascades, bound, n_probes = 32, 2, 2.0, 32
+    # content only well inside the unit cube (center cell)
+    cell = np.asarray(morton3d(jnp.asarray([[16, 16, 16]],
+                                           dtype=jnp.int32)))[0]
+    dens = np.zeros((cascades, gs ** 3), np.float32)
+    dens[0, cell] = 100.0                        # cascade 1 stays EMPTY
+    bitfield = packbits(jnp.asarray(dens), 1.0)
+    r = _coarse_dilate_radius(bound, gs, n_probes)
+    coarse = coarse_occupancy(bitfield, gs, cascades, r, bound=bound)
+
+    # axis ray from far outside the cube through the center, contracted
+    N = 4
+    ro = jnp.stack([jnp.full((N,), -1.9),
+                    jnp.linspace(-0.02, 0.02, N),
+                    jnp.zeros((N,))], axis=-1)
+    rd = jnp.tile(jnp.array([[1.0, 0.0, 0.0]]), (N, 1))
+    nears = jnp.full((N, 1), 0.05)
+    fars = jnp.full((N, 1), 3.8)
+    occ, t, spacing = _probe_occupancy(
+        ro, rd, coarse, nears, fars, bound, True, gs, cascades, n_probes)
+    occ, t = np.asarray(occ), np.asarray(t)
+    x = np.asarray(ro)[:, :1] + t                 # probe x coordinate
+    # probes over empty outside-cube space far from the content's dilated
+    # neighborhood must be unoccupied (pre-fix: ALL of these were True)
+    far_outside = x < -1.25
+    assert far_outside.any()
+    assert not occ[far_outside].any()
+    # the content itself stays detectable on every ray
+    near_content = np.abs(x) < 0.2
+    assert (occ & near_content).any(axis=1).all()

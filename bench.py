@@ -78,14 +78,17 @@ def main():
         settled += 1
         stable = stable + 1 if (tr.num_rays, tr._point_budget) == before \
             else 0
+    settle_capped = not (stable >= 6 and tr.adaptation_quiescent())
 
     # steady-state measurement, MULTIPLE of the scan-dispatch chunk
     # (a remainder would compile the single-step executable inside the
     # timed window, ~45 s on the tunnel)
     iters = 12 * interval
-    rays_at_open = tr.num_rays
+    key_at_open = (tr.num_rays, tr._point_budget)
     res = tr.train(iters=iters, log_every=10 ** 9)
-    batch_settled = (tr.num_rays == rays_at_open)
+    # ANY respecialization (rays or point budget) inside the window puts
+    # a tunnel recompile in the timing — flag it
+    batch_settled = ((tr.num_rays, tr._point_budget) == key_at_open)
 
     # the trainer's own meter: total_rays/dt with total_rays accumulated
     # per dispatch at the num_rays actually in effect (trainer.py train())
@@ -120,6 +123,7 @@ def main():
             "ms_per_step": round(ms_per_step, 2),
             "num_rays": tr.num_rays,
             "batch_settled_across_window": batch_settled,
+            "settle_capped": settle_capped,
             "live_points_per_step": round(live_pts, 1),
             "live_points_per_sec": round(live_points_per_sec, 1),
             "candidate_points_per_sec": round(candidate_points_per_sec, 1),

@@ -88,15 +88,19 @@ def _matmul_split(spec: HashGridSpec) -> int:
     qualifying levels form a prefix). At least one level stays on the
     window path so the record machinery never sees zero windows.
     RAW_NGP_MM_LEVELS caps the count: 0 disables, N allows at most N
-    matmul levels; unset = auto (read at trace time, like
-    RAW_NGP_CHUNKED_SORT)."""
+    matmul levels; unset = auto; any non-integer value (e.g. "off")
+    disables, preserving the old anything-but-"1"-disables semantics
+    (read at trace time, like RAW_NGP_CHUNKED_SORT)."""
     import os
     k = 0
     while k < spec.num_levels - 1 and _matmul_level(spec, k):
         k += 1
     env = os.environ.get("RAW_NGP_MM_LEVELS", "")
     if env:
-        k = min(int(env), k)
+        try:
+            k = min(max(int(env), 0), k)
+        except ValueError:
+            k = 0
     return k
 
 

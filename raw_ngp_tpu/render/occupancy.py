@@ -405,6 +405,7 @@ def march_rays(
     dt_gamma: float = 0.0,
     coarse_probes: int = 0,
     march_cdf: bool = False,
+    max_steps: int = 1024,      # sets the reference dt_min (cdf+dt_gamma)
 ):
     """Candidate -> mask -> compact marching. Returns dict with
     ts [N, K], deltas [N, K], mask [N, K] (valid samples)."""
@@ -426,7 +427,7 @@ def march_rays(
             t_cand, dt = cdf_candidates(
                 rays_o, rays_d, coarse_lin, nears, fars, bound, contract,
                 grid_size, cascades, coarse_probes, S, jitter,
-                dt_gamma=dt_gamma)
+                dt_gamma=dt_gamma, max_steps=max_steps)
         else:
             nears, fars = coarse_spans(
                 rays_o, rays_d, coarse_lin, nears, fars, bound, contract,
@@ -717,7 +718,8 @@ def render_occupancy(
                    cfg.render.grid_size, cfg.cascades, S, K, key=key,
                    dt_gamma=cfg.render.dt_gamma,
                    coarse_probes=cfg.render.coarse_probes,
-                   march_cdf=cfg.render.march_cdf)
+                   march_cdf=cfg.render.march_cdf,
+                   max_steps=cfg.render.max_steps)
     ts, deltas, mask = m["ts"], m["deltas"], m["mask"]
     mask = mask & ~miss
 

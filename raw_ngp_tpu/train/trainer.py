@@ -611,6 +611,15 @@ class Trainer:
         return arrays
 
     # ------------------------------------------------------------------
+    def base_point_budget(self) -> int:
+        """The config-derived compacted point budget (the 2^18 anchor of
+        the reference's adaptive_num_rays, train_utils.py:563-564): one
+        definition shared by executable construction, the adaptive
+        batcher, and the settle predicate."""
+        cfg = self.cfg
+        return max(int(cfg.train.num_rays * cfg.render.samples_per_ray
+                       * cfg.render.compact_ratio) // 128 * 128, 128)
+
     def _make_step(self, num_rays: int, budget_key, scan_steps: int = 1):
         """Build the train step for an adaptive-batch key
         (num_rays, point budget; budget None = config-derived base).
@@ -628,9 +637,7 @@ class Trainer:
             budget = budget_key
             if (budget is None and cfg.render.occupancy
                     and cfg.render.compact_ratio > 0):
-                budget = max(
-                    int(cfg.train.num_rays * cfg.render.samples_per_ray
-                        * cfg.render.compact_ratio) // 128 * 128, 128)
+                budget = self.base_point_budget()
             cfg2 = cfg
             if budget is not None:
                 # rays shard over dp only; each tp device of a row
@@ -682,9 +689,7 @@ class Trainer:
         pts = float(jax.device_get(metrics["num_points"]))
         self._pts_ema = (pts if self._pts_ema is None
                          else 0.7 * self._pts_ema + 0.3 * pts)
-        base_budget = max(
-            int(cfg.train.num_rays * cfg.render.samples_per_ray
-                * cfg.render.compact_ratio) // 128 * 128, 128)
+        base_budget = self.base_point_budget()
 
         cap = cfg.train.max_num_rays or 4 * cfg.train.num_rays
         num_rays = self.num_rays
@@ -718,25 +723,35 @@ class Trainer:
 
     def adaptation_quiescent(self, margin: float = 1.1) -> bool:
         """True when no adaptive-batch respecialization is plausibly
-        pending: ray growth keys off the live-sample EMA, which keeps
-        FALLING as the occupancy grid prunes, so a benchmark cannot just
-        wait for N unchanged intervals — it must also check that the
-        growth criterion (_adapt_batch: pts_ema * 2 <= 0.9 * budget) is
-        not within ``margin`` of firing at the current EMA."""
+        pending. All three _adapt_batch triggers key off the live-sample
+        EMA, which keeps FALLING as the occupancy grid prunes, so a
+        benchmark cannot just wait for N unchanged intervals — it must
+        also check that none of the criteria is within ``margin`` of
+        firing at the current EMA:
+
+        * ray growth: pts_ema * 2 <= 0.9 * base_budget (below cap);
+        * budget shrink: 1.3 * pts_ema <= budget // 2 (above base // 8);
+        * budget regrow: 1.1 * pts_ema > budget (hysteresis).
+        """
         cfg = self.cfg
         if not (cfg.train.adaptive_num_rays and cfg.render.occupancy
                 and cfg.render.compact_ratio > 0):
             return True
         if self._pts_ema is None:
             return False
-        base_budget = max(
-            int(cfg.train.num_rays * cfg.render.samples_per_ray
-                * cfg.render.compact_ratio) // 128 * 128, 128)
+        base_budget = self.base_point_budget()
+        budget = self._point_budget or base_budget
         cap = cfg.train.max_num_rays or 4 * cfg.train.num_rays
         growth_pending = (
             self.num_rays * 2 <= cap
             and self._pts_ema * 2.0 <= margin * 0.9 * base_budget)
-        return not growth_pending
+        shrink_pending = (
+            budget // 2 >= base_budget // 8
+            and 1.3 * self._pts_ema <= margin * (budget // 2))
+        regrow_pending = (
+            budget < base_budget
+            and 1.1 * self._pts_ema * margin > budget)
+        return not (growth_pending or shrink_pending or regrow_pending)
 
     def train(self, iters: Optional[int] = None, log_every: int = 100):
         iters = iters or self.cfg.train.iters

@@ -263,8 +263,7 @@ def test_adaptation_quiescent_predicate(tmp_path):
     train_scene, val_scene = make_synthetic_scene(
         n_train=4, n_val=1, H=16, W=16)
     tr = Trainer(cfg, train_scene, val_scene, workspace=str(tmp_path))
-    base_budget = max(int(cfg.train.num_rays * cfg.render.samples_per_ray
-                          * cfg.render.compact_ratio) // 128 * 128, 128)
+    base_budget = tr.base_point_budget()
     # no reading yet -> cannot be called settled
     assert tr._pts_ema is None and not tr.adaptation_quiescent()
     # saturated live count -> growth cannot fire
@@ -276,7 +275,14 @@ def test_adaptation_quiescent_predicate(tmp_path):
     # within the margin band just above the firing threshold -> pending
     tr._pts_ema = 0.5 * 0.9 * base_budget * 1.05
     assert not tr.adaptation_quiescent()
-    # rays already at cap -> quiescent regardless of the EMA
+    # rays at cap but a low EMA still has the budget SHRINK pending
+    # (the second respecialization _adapt_batch can fire)
     tr.num_rays = cfg.train.max_num_rays or 4 * cfg.train.num_rays
     tr._pts_ema = 0.3 * base_budget
+    assert not tr.adaptation_quiescent()
+    # ...until the budget has shrunk to match the live count
+    tr._point_budget = base_budget // 2
     assert tr.adaptation_quiescent()
+    # a shrunken budget with a RISING live count has the regrow pending
+    tr._pts_ema = 0.95 * (base_budget // 2)
+    assert not tr.adaptation_quiescent()

@@ -374,12 +374,9 @@ def step(num_rays: int = 8192, point_budget: int = 0):
     t_eg = timeit(enc_g, gp, x01, n=10)
     print(f"hash encode f+b  2^18: {t_eg*1e3:8.1f} ms")
 
-    # field (encode+MLPs) fwd / fwd+bwd on the m_pad compact batch
+    # field (encode+MLPs) fwd / fwd+bwd on the SAME m_pad compact batch
+    # as the compact/composite blocks above
     from raw_ngp_tpu.models.ngp import field_forward
-    m_pad = (max(cfg.render.point_budget // 128 * 128, 128)
-             if cfg.render.point_budget else
-             max(int(N * cfg.render.samples_per_ray
-                     * cfg.render.compact_ratio) // 128 * 128, 128))
     xc = jax.random.uniform(jax.random.fold_in(key, 9), (m_pad, 3),
                             minval=-1, maxval=1)
     dc = jax.random.normal(jax.random.fold_in(key, 10), (m_pad, 3))

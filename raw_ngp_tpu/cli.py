@@ -79,6 +79,11 @@ def build_parser() -> argparse.ArgumentParser:
     # occupancy-mode model
     p.add_argument("--num_levels", type=int, default=0)
     p.add_argument("--level_dim", type=int, default=0)
+    p.add_argument("--hash_variant", default="",
+                   choices=["", "xor", "additive"],
+                   help="override the hash mixer (the TPU profile ships "
+                        "additive; xor = reference gridencoder.cu:46-58 "
+                        "for reference-exact comparisons)")
     p.add_argument("--grid_mlp_hidden", type=int, default=0)
     p.add_argument("--view_mlp_hidden", type=int, default=0)
     p.add_argument("--samples_per_ray", type=int, default=64,
@@ -274,7 +279,7 @@ def args_to_config(args) :
         cfg = cfg.with_tpu_profile()
     size_over = {k: getattr(args, k) for k in
                  ("num_levels", "level_dim", "grid_mlp_hidden",
-                  "view_mlp_hidden") if getattr(args, k)}
+                  "view_mlp_hidden", "hash_variant") if getattr(args, k)}
     if size_over:
         cfg = replace(cfg, model=replace(cfg.model, **size_over))
     if args.pose_opt != "none":

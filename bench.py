@@ -68,17 +68,29 @@ def main():
     # window). Growth keys off the live-sample EMA, which keeps FALLING
     # as the occupancy grid prunes, so it can fire hundreds of steps
     # after warmup — interval-count heuristics twice opened the window
-    # too early. Settle until the trainer itself reports no adaptation
-    # within margin of firing AND 6 unchanged intervals, with a hard cap
-    # so a never-settling config still terminates (flagged in extra).
+    # too early, and a margin on the growth criterion alone was beaten
+    # once more by the trend (the EMA crosses the whole margin band on
+    # its way down). Settle until (a) 6 unchanged intervals, (b) the
+    # trainer reports no adaptation within margin of firing, AND (c) the
+    # EMA itself has PLATEAUED (<3% move over the last 3 intervals);
+    # hard cap so a never-settling config still terminates (flagged).
     stable = settled = 0
-    while settled < 90 and (stable < 6 or not tr.adaptation_quiescent()):
+    ema_hist = []
+    while settled < 90:
         before = (tr.num_rays, tr._point_budget)
         tr.train(iters=interval, log_every=10 ** 9)
         settled += 1
         stable = stable + 1 if (tr.num_rays, tr._point_budget) == before \
             else 0
-    settle_capped = not (stable >= 6 and tr.adaptation_quiescent())
+        ema_hist.append(tr._pts_ema)
+        ema_flat = (len(ema_hist) >= 4
+                    and ema_hist[-4] is not None
+                    and ema_hist[-1] is not None
+                    and abs(ema_hist[-1] - ema_hist[-4])
+                    <= 0.03 * ema_hist[-1])
+        if stable >= 6 and ema_flat and tr.adaptation_quiescent():
+            break
+    settle_capped = settled >= 90
 
     # steady-state measurement, MULTIPLE of the scan-dispatch chunk
     # (a remainder would compile the single-step executable inside the

@@ -102,7 +102,12 @@ class RenderConfig:
     # dt_gamma > 0: occupied intervals are then weighted by the local
     # reference step count (spacing / clamp(t*gamma, dt_min, dt_max)),
     # so candidate density follows the geometric schedule inside the
-    # skipping, like raymarching.cu:396-401 + :468-480 compose.
+    # skipping, like raymarching.cu:396-401 + :468-480 compose. CAVEAT
+    # (measured, ROADMAP round-4 contract gate): at small fixed S the
+    # faithful 1/dt allocation starves far content (~9x density goes to
+    # near-camera occupied space); on contracted scenes with dt_gamma
+    # prefer march_cdf=False unless samples_per_ray is sized near the
+    # reference's dynamic step count.
     march_cdf: bool = False
     # cross-ray sample compaction: evaluate the field only on a static
     # buffer of num_rays*K*compact_ratio points (the CSR equivalent of the

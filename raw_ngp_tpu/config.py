@@ -103,11 +103,12 @@ class RenderConfig:
     # reference step count (spacing / clamp(t*gamma, dt_min, dt_max)),
     # so candidate density follows the geometric schedule inside the
     # skipping, like raymarching.cu:396-401 + :468-480 compose. CAVEAT
-    # (measured, ROADMAP round-4 contract gate): at small fixed S the
-    # faithful 1/dt allocation starves far content (~9x density goes to
-    # near-camera occupied space); on contracted scenes with dt_gamma
-    # prefer march_cdf=False unless samples_per_ray is sized near the
-    # reference's dynamic step count.
+    # (measured, ROADMAP round-4 contract gates): on CONTRACTED scenes
+    # prefer march_cdf=False — occupied-only placement skips the void
+    # samples that double as free-space supervision there (span+gamma
+    # 25.8 held-out vs cdf+gamma 16.1 / cdf-alone 20.7), and at small
+    # fixed S the faithful 1/dt allocation additionally starves far
+    # content. On bounded scenes the CDF is the flagship (34.4 held-out).
     march_cdf: bool = False
     # cross-ray sample compaction: evaluate the field only on a static
     # buffer of num_rays*K*compact_ratio points (the CSR equivalent of the

@@ -94,13 +94,23 @@ def main():
 
     # steady-state measurement, MULTIPLE of the scan-dispatch chunk
     # (a remainder would compile the single-step executable inside the
-    # timed window, ~45 s on the tunnel)
+    # timed window, ~45 s on the tunnel). The settle heuristics above
+    # minimize the chance of a respecialization landing mid-window, but
+    # the growth EMA crawls asymptotically through every threshold
+    # (three settle heuristics were each beaten once), so the window
+    # itself is the final arbiter: if (num_rays, point budget) changed
+    # inside it, the timing contains a recompile — discard and re-time
+    # (the respecialized executable is then already compiled, so the
+    # retry window is clean by construction).
     iters = 12 * interval
-    key_at_open = (tr.num_rays, tr._point_budget)
-    res = tr.train(iters=iters, log_every=10 ** 9)
-    # ANY respecialization (rays or point budget) inside the window puts
-    # a tunnel recompile in the timing — flag it
-    batch_settled = ((tr.num_rays, tr._point_budget) == key_at_open)
+    attempts = 0
+    while True:
+        attempts += 1
+        key_at_open = (tr.num_rays, tr._point_budget)
+        res = tr.train(iters=iters, log_every=10 ** 9)
+        batch_settled = ((tr.num_rays, tr._point_budget) == key_at_open)
+        if batch_settled or attempts >= 3:
+            break
 
     # the trainer's own meter: total_rays/dt with total_rays accumulated
     # per dispatch at the num_rays actually in effect (trainer.py train())
@@ -135,6 +145,7 @@ def main():
             "ms_per_step": round(ms_per_step, 2),
             "num_rays": tr.num_rays,
             "batch_settled_across_window": batch_settled,
+            "window_attempts": attempts,
             "settle_capped": settle_capped,
             "live_points_per_step": round(live_pts, 1),
             "live_points_per_sec": round(live_points_per_sec, 1),

@@ -155,7 +155,11 @@ def main():
             "samples_per_ray": cfg.render.samples_per_ray,
             "steps_total": tr.host_step,
             "psnr_trainview": round(float(psnr_train), 3),
-            "psnr_trainview_floor": 27.0,
+            # floor raised 27 -> 31 after the round-4 20k-schedule runs
+            # (bench-horizon train-view measured 33.99-36.24 across
+            # round-4 configurations; a drop below 31 means a real
+            # training/rendering regression, not noise)
+            "psnr_trainview_floor": 31.0,
             "psnr_heldout": round(float(psnr), 3),
             "backend": jax.default_backend(),
         },

@@ -30,6 +30,13 @@ def main():
     ap.add_argument("--textured", action="store_true",
                     help="lat/long-checker albedo: a sharper PSNR "
                          "instrument than the flat bench scene")
+    ap.add_argument("--hdr", action="store_true",
+                    help="linear-radiance scene with {0.25,1,4} exposure "
+                         "bracketing -> RawNeRF clipped loss + "
+                         "clamped_exp color (the reference's core mode)")
+    ap.add_argument("--rfield", action="store_true",
+                    help="per-image light directions -> reflectance-"
+                         "field conditioning (SH(ldir) concat)")
     ap.add_argument("--eps", type=float, default=0.0,
                     help="override train.adam_eps (stability ladder A/Bs)")
     ap.add_argument("--lr", type=float, default=0.0,
@@ -68,6 +75,15 @@ def main():
     if args.hash:
         cfg = replace(cfg, model=replace(cfg.model,
                                          hash_variant=args.hash))
+    if args.hdr:
+        # HDR mode mirrors the lightstage preset's loss-relevant pieces
+        # (image_mode drives rawnerf_loss; clamped_exp is the reference's
+        # HDR color head, network.py:131-138)
+        cfg = replace(cfg, data=replace(cfg.data, image_mode="HDR"),
+                      model=replace(cfg.model,
+                                    color_activation="clamped_exp"))
+    if args.rfield:
+        cfg = replace(cfg, data=replace(cfg.data, rfield=True))
     if args.march:
         toks = args.march.split(":")
         cdf = toks[-1] == "cdf"
@@ -78,7 +94,7 @@ def main():
     cfg = cfg.validate()
     train_scene, val_scene = make_synthetic_scene(
         n_train=36, n_val=2, H=args.res, W=args.res,
-        textured=args.textured)
+        textured=args.textured, hdr=args.hdr, rfield=args.rfield)
     tr = Trainer(cfg, train_scene, val_scene, workspace="/tmp/quality_ws")
 
     curve = []
@@ -89,10 +105,18 @@ def main():
         tr.train(iters=n, log_every=10 ** 9)
         done += n
         held = float(tr.evaluate()["psnr"])
-        rgb_t, _ = tr.render_image(train_scene.poses[0],
-                                   train_scene.intrinsics,
-                                   train_scene.H, train_scene.W)
+        rgb_t, _ = tr.render_image(
+            train_scene.poses[0], train_scene.intrinsics,
+            train_scene.H, train_scene.W,
+            ldir=(train_scene.ldirs[0]
+                  if train_scene.ldirs is not None else None))
         gt_t = train_scene.images[0][..., :3]
+        if args.hdr and train_scene.exposures is not None:
+            # exposure-clipped comparison, the RawNeRF/eval protocol
+            # (trainer.evaluate, train_utils.py:1014-1016 parity)
+            rgb_t = np.minimum(1.0, np.asarray(rgb_t)
+                               * train_scene.exposures[0])
+            gt_t = np.minimum(1.0, gt_t)
         mse_t = float(np.mean((np.clip(rgb_t, 0, 1) - gt_t) ** 2))
         train_psnr = float(-10.0 * np.log10(mse_t + 1e-12))
         rec = {"step": done, "psnr_train": round(train_psnr, 3),

@@ -83,7 +83,7 @@ def main():
                       model=replace(cfg.model,
                                     color_activation="clamped_exp"))
     if args.rfield:
-        cfg = replace(cfg, data=replace(cfg.data, rfield=True))
+        cfg = replace(cfg, model=replace(cfg.model, rfield=True))
     if args.march:
         toks = args.march.split(":")
         cdf = toks[-1] == "cdf"

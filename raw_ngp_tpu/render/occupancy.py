@@ -406,6 +406,11 @@ def march_rays(
     coarse_probes: int = 0,
     march_cdf: bool = False,
     max_steps: int = 1024,      # sets the reference dt_min (cdf+dt_gamma)
+    coarse_lin=None,            # precomputed coarse_occupancy volume:
+                                # it only changes at grid-refresh
+                                # boundaries but costs ~2.2 ms/step
+                                # rebuilt in-graph, so the Trainer caches
+                                # it per refresh interval
 ):
     """Candidate -> mask -> compact marching. Returns dict with
     ts [N, K], deltas [N, K], mask [N, K] (valid samples)."""
@@ -419,10 +424,11 @@ def march_rays(
 
     use_cdf = march_cdf and coarse_probes > 0
     if coarse_probes > 0:
-        coarse_lin = coarse_occupancy(
-            bitfield, grid_size, cascades,
-            _coarse_dilate_radius(bound, grid_size, coarse_probes),
-            bound=bound)
+        if coarse_lin is None:
+            coarse_lin = coarse_occupancy(
+                bitfield, grid_size, cascades,
+                _coarse_dilate_radius(bound, grid_size, coarse_probes),
+                bound=bound)
         if use_cdf:
             t_cand, dt = cdf_candidates(
                 rays_o, rays_d, coarse_lin, nears, fars, bound, contract,
@@ -694,6 +700,7 @@ def render_occupancy(
     annealing=1.0,
     training: bool = False,
     compute_normals: bool = False,
+    coarse_lin=None,
 ) -> Dict[str, jnp.ndarray]:
     """Full occupancy-path render (reference run_cuda,
     renderer.py:515-676), one static-shape program for train AND inference
@@ -719,7 +726,8 @@ def render_occupancy(
                    dt_gamma=cfg.render.dt_gamma,
                    coarse_probes=cfg.render.coarse_probes,
                    march_cdf=cfg.render.march_cdf,
-                   max_steps=cfg.render.max_steps)
+                   max_steps=cfg.render.max_steps,
+                   coarse_lin=coarse_lin)
     ts, deltas, mask = m["ts"], m["deltas"], m["mask"]
     mask = mask & ~miss
 

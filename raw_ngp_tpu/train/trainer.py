@@ -231,14 +231,15 @@ def _bg_color(cfg: Config, key, n):
 
 def render_any(params, spec, state, rays_o, rays_d, aabb, *, key,
                bg_color, cam_near_far, rays_ldir, annealing, training,
-               update_proposal=True):
+               update_proposal=True, coarse_lin=None):
     """Dispatch proposal vs occupancy rendering (renderer.py:374-377)."""
     if spec.cfg.render.occupancy:
         from raw_ngp_tpu.render.occupancy import render_occupancy
         return render_occupancy(
             params, spec, rays_o, rays_d, aabb, state.density_bitfield,
             key=key, bg_color=bg_color, cam_near_far=cam_near_far,
-            rays_ldir=rays_ldir, annealing=annealing, training=training)
+            rays_ldir=rays_ldir, annealing=annealing, training=training,
+            coarse_lin=coarse_lin)
     return render_proposal(
         params, spec, rays_o, rays_d, aabb, key=key, bg_color=bg_color,
         cam_near_far=cam_near_far, rays_ldir=rays_ldir, annealing=annealing,
@@ -264,7 +265,8 @@ def make_batch_loss_fn(cfg: Config, spec: FieldSpec):
             params, spec, state, rays_o, rays_d, aabb, key=k_render,
             bg_color=bg, cam_near_far=batch.get("cam_near_far"),
             rays_ldir=batch.get("rays_ldir"), annealing=annealing,
-            training=True, update_proposal=update_proposal)
+            training=True, update_proposal=update_proposal,
+            coarse_lin=batch.get("coarse_lin"))
 
         if cfg.data.image_mode == "HDR":
             lw = loss_weight_fn(cfg.train.loss_weight, gt_rgb)
@@ -315,6 +317,10 @@ def make_loss_fn(cfg: Config, spec: FieldSpec, num_rays: int):
             exposures=scene.get("exposures"), ldirs=scene.get("ldirs"),
             cam_near_far=scene.get("cam_near_far"),
             mosaiced=cfg.data.mosaiced)
+        # per-interval cached coarse volume (the Trainer refreshes it at
+        # grid-update boundaries; absent -> the march rebuilds in-graph)
+        if "coarse_lin" in scene:
+            batch["coarse_lin"] = scene["coarse_lin"]
         return batch_loss_fn(params, state, batch, aabb, key, annealing,
                              update_proposal)
 
@@ -550,6 +556,21 @@ class Trainer:
             self._train_step = self._make_step(self.num_rays, None)
             self._eval_render = make_eval_render(cfg, self.spec,
                                                  self._eval_chunk)
+        # cached coarse-probe occupancy volume: it only changes at grid-
+        # refresh boundaries, but rebuilt in-graph it costs ~2.2 ms on
+        # EVERY step (measured, flagship shapes) — compute once per
+        # refresh and ship it with the scene arrays
+        self._coarse_fn = None
+        if cfg.render.occupancy and cfg.render.coarse_probes > 0:
+            from raw_ngp_tpu.render.occupancy import (
+                _coarse_dilate_radius, coarse_occupancy)
+            _r = _coarse_dilate_radius(cfg.render.bound,
+                                       cfg.render.grid_size,
+                                       cfg.render.coarse_probes)
+            self._coarse_fn = jax.jit(
+                lambda bf: coarse_occupancy(
+                    bf, cfg.render.grid_size, cfg.cascades, _r,
+                    bound=cfg.render.bound))
         if cfg.render.occupancy:
             from raw_ngp_tpu.ops.grid import make_grid_update
             self._grid_update = make_grid_update(cfg, self.spec)
@@ -721,6 +742,18 @@ class Trainer:
             f"[train] adaptive batch -> num_rays {num_rays}, point "
             f"budget {budget} (live pts/step ~{self._pts_ema:.0f})")
 
+    def _refresh_coarse_cache(self):
+        """Recompute the probe coarse-occupancy volume from the CURRENT
+        bitfield and ship it with the scene arrays (valid for the whole
+        refresh interval — the step functions read batch["coarse_lin"])."""
+        if self._coarse_fn is None:
+            return
+        cl = self._coarse_fn(self.state.density_bitfield)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            cl = jax.device_put(cl, NamedSharding(self.mesh, P()))
+        self.scene_arrays["coarse_lin"] = cl
+
     def adaptation_quiescent(self, margin: float = 1.1) -> bool:
         """True when no adaptive-batch respecialization is plausibly
         pending. All three _adapt_batch triggers key off the live-sample
@@ -777,6 +810,7 @@ class Trainer:
                 self.state = self._grid_update(self.state,
                                                self.host_grid_updates)
                 self.host_grid_updates += 1
+                self._refresh_coarse_cache()
                 # adapt from the PREVIOUS interval's stashed metrics: that
                 # value finished long ago, so the device_get returns
                 # without draining the deeply-pipelined async dispatch
@@ -1087,6 +1121,9 @@ class Trainer:
         self.host_step = int(meta.get("step", int(self.state.step)))
         interval = self.cfg.render.update_extra_interval
         self.host_grid_updates = self.host_step // max(interval, 1)
+        # the restored bitfield invalidates the cached coarse volume
+        if self.cfg.render.occupancy:
+            self._refresh_coarse_cache()
         print(f"[ckpt] restored {path} at step {self.host_step} "
               f"({meta.get('n_loaded', '?')} arrays)")
         return True

@@ -419,6 +419,21 @@ class Config:
         )
 
     def validate(self) -> "Config":
+        if self.render.contract and self.render.march_cdf:
+            # measured-bad composition (ROADMAP round-4 contract gates):
+            # occupied-only CDF placement loses the void samples that
+            # double as free-space supervision on contracted scenes
+            # (span+gamma 25.8 dB held-out vs cdf+gamma 16.1). Auto-fall
+            # back to the span march rather than let a preset select the
+            # known-bad pairing silently.
+            import warnings
+            warnings.warn(
+                "march_cdf=True with render.contract=True is a measured "
+                "quality regression (see config.march_cdf docstring); "
+                "falling back to the span march (march_cdf=False).",
+                stacklevel=2)
+            self = replace(self, render=replace(self.render,
+                                                march_cdf=False))
         r = self.render
         assert r.samples_per_ray > 0 and r.march_candidates >= r.samples_per_ray
         assert r.coarse_probes == 0 or r.grid_size % 4 == 0

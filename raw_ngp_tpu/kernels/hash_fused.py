@@ -96,7 +96,7 @@ def _matmul_split(spec: HashGridSpec) -> int:
     while k < spec.num_levels - 1 and _matmul_level(spec, k):
         k += 1
     env = os.environ.get("RAW_NGP_MM_LEVELS", "")
-    if env:
+    if env and env.lower() != "auto":   # "auto" == unset == uncapped
         try:
             k = min(max(int(env), 0), k)
         except ValueError:

@@ -544,6 +544,37 @@ def compact_positions(mask, m_pad: int):
     return kept.reshape(mask.shape), inv, buf[2::2]
 
 
+def compact_positions_attrs(mask, m_pad: int, attrs):
+    """:func:`compact_positions` fused with the flat attribute gathers
+    that always follow it (``gather_flat_sorted(attr, pos)``).
+
+    On TPU backends the whole block — the ~6 ms monotone compact scatter
+    plus one ~1 ms gather per attribute — is ONE Pallas streaming pass
+    (kernels/compact_pallas.py, the reference's two-pass atomic CSR
+    compaction, raymarching.cu:338-491, re-done as a sequential-grid
+    one-hot MXU placement). On CPU it falls back to the oracle path;
+    both produce bit-identical (pos, attrs_c), so renders don't move.
+
+    Returns (kept [N, K], inv [M], pos [m_pad], attrs_c list of [m_pad]).
+    """
+    from raw_ngp_tpu.kernels import compact_pallas as cpk
+    flat = mask.reshape(-1)
+    M = flat.shape[0]
+    if cpk.use_pallas_compact() and M < (1 << 24):
+        c = jnp.cumsum(flat.astype(jnp.int32))
+        kept = flat & (c <= m_pad)
+        inv = jnp.where(kept, c - 1, m_pad)
+        keys = jnp.where(kept, c - 1, cpk._SENTINEL)
+        pos, attrs_c = cpk.compact_attrs_pallas(
+            jnp.stack([a.astype(jnp.float32) for a in attrs]),
+            keys, c, m_pad)
+        return (kept.reshape(mask.shape), inv, pos,
+                [attrs_c[i] for i in range(len(attrs))])
+    kept, inv, pos = compact_positions(mask, m_pad)
+    return kept, inv, pos, [
+        gather_flat_sorted(a.astype(jnp.float32), pos) for a in attrs]
+
+
 def _vrow_expand(packed, inv):
     """``packed[inv]`` for a [R, D] buffer with small D, executed as
     128-float vrow gathers + lane selection.
@@ -785,9 +816,22 @@ def render_occupancy(
         # (o + d*t is the identical fma the full tensor would run, so
         # renders match bit-for-bit); dirs/ldir are per-ray broadcasts
         # that never needed per-sample compaction at all
-        mask, inv, pos = compact_positions(mask, m_pad)
+        import os as _os
+        compact_composite = _os.environ.get(
+            "RAW_NGP_COMPACT_COMPOSITE", "1") == "1"   # A/B escape hatch
+        use_cc = compact_composite and not (need_full_xyzs or
+                                            compute_normals)
+        # t (and, on the compact-composite path, dt) ride the compaction
+        # as fused payload words: on TPU one Pallas streaming pass
+        # (kernels/compact_pallas.py) replaces the ~6 ms monotone compact
+        # scatter plus every per-attribute flat gather
+        attrs = [ts.reshape(-1)]
+        if use_cc:
+            attrs.append(jnp.broadcast_to(deltas, (N, K)).reshape(-1))
+        mask, inv, pos, attrs_c = compact_positions_attrs(mask, m_pad,
+                                                          attrs)
+        t_c = attrs_c[0]                                 # [m_pad]
         M = N * K
-        t_c = gather_flat_sorted(ts.reshape(-1), pos)    # [m_pad]
         # unfilled slots (sentinel pos == M) point at the sanitized dummy
         # ray row N: origin 0, unit-z direction — a zero direction NaNs
         # the SH normalization and 0*NaN poisons the backward. The
@@ -816,10 +860,7 @@ def render_occupancy(
             ld_c = jnp.where(lnorm > 1e-8, l_c, ez)   # zero-guard only
         sig_c, rgb_c = field_forward(params, spec, xyz_c, dirs_c, ld_c,
                                      annealing)
-        import os as _os
-        compact_composite = _os.environ.get(
-            "RAW_NGP_COMPACT_COMPOSITE", "1") == "1"   # A/B escape hatch
-        if compact_composite and not (need_full_xyzs or compute_normals):
+        if use_cc:
             # composite DIRECTLY on the compacted ray-major stream
             # (ops/compositing.composite_rays_compacted): the expand
             # gathers, their transpose, and the [N, K] composite math on
@@ -827,9 +868,7 @@ def render_occupancy(
             # [N, K] weights (orientation loss, normal maps) still take
             # the expand path below.
             from raw_ngp_tpu.ops.compositing import composite_rays_compacted
-            dt_c = gather_flat_sorted(
-                jnp.broadcast_to(deltas, (N, K)).reshape(-1).astype(
-                    jnp.float32), pos)
+            dt_c = attrs_c[1]
             counts = mask.sum(axis=-1)
             out = composite_rays_compacted(
                 sig_c, rgb_c, t_c, dt_c, rid, filled, counts, N,

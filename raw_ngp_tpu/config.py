@@ -110,6 +110,22 @@ class RenderConfig:
     # fixed S the faithful 1/dt allocation additionally starves far
     # content. On bounded scenes the CDF is the flagship (34.4 held-out).
     march_cdf: bool = False
+    # geometric (log-uniform / disparity-style) probe intervals instead
+    # of uniform-t (render/occupancy._probe_grid). On contracted or
+    # unbounded scenes uniform probes put nearly all of coarse_probes in
+    # the far field, so near-camera content loses skip resolution; log
+    # spacing mirrors the reference's geometrically growing dt_gamma
+    # schedule (raymarching.cu:396-401). Composes with both the span
+    # tightening and the CDF distribution.
+    probe_log: bool = False
+    # CDF epsilon floor: unoccupied probe intervals keep this fraction of
+    # their occupied-case candidate weight, so intervals whose CENTER
+    # probe missed off-center fine-occupied content (fog in
+    # under-observed regions) still get sampled and carved — the measured
+    # failure mode behind the CDF's 5 dB held-out gap vs the span march
+    # on contracted scenes (ROADMAP round-4 contract gates). 0 = pure
+    # occupied-only placement (the bounded-scene flagship).
+    cdf_floor: float = 0.0
     # cross-ray sample compaction: evaluate the field only on a static
     # buffer of num_rays*K*compact_ratio points (the CSR equivalent of the
     # reference's exact compaction + adaptive_num_rays point budget,
@@ -419,24 +435,28 @@ class Config:
         )
 
     def validate(self) -> "Config":
-        if self.render.contract and self.render.march_cdf:
+        if (self.render.contract and self.render.march_cdf
+                and self.render.cdf_floor <= 0.0):
             # measured-bad composition (ROADMAP round-4 contract gates):
-            # occupied-only CDF placement loses the void samples that
-            # double as free-space supervision on contracted scenes
-            # (span+gamma 25.8 dB held-out vs cdf+gamma 16.1). Auto-fall
-            # back to the span march rather than let a preset select the
-            # known-bad pairing silently.
+            # pure occupied-only CDF placement loses the void samples
+            # that carve fog in center-missed intervals on contracted
+            # scenes (span+gamma 25.8 dB held-out vs cdf+gamma 16.1).
+            # cdf_floor > 0 is the mitigation (round-5 contract gates);
+            # without it, auto-fall back to the span march rather than
+            # let a preset select the known-bad pairing silently.
             import warnings
             warnings.warn(
-                "march_cdf=True with render.contract=True is a measured "
-                "quality regression (see config.march_cdf docstring); "
-                "falling back to the span march (march_cdf=False).",
+                "march_cdf=True with render.contract=True and no "
+                "cdf_floor is a measured quality regression (see "
+                "config.march_cdf docstring); falling back to the span "
+                "march (march_cdf=False).",
                 stacklevel=2)
             self = replace(self, render=replace(self.render,
                                                 march_cdf=False))
         r = self.render
         assert r.samples_per_ray > 0 and r.march_candidates >= r.samples_per_ray
         assert r.coarse_probes == 0 or r.grid_size % 4 == 0
+        assert 0.0 <= r.cdf_floor < 1.0
         assert self.model.gridtype in ("hash", "tiled")
         assert self.model.interpolation in ("linear", "smoothstep")
         assert self.model.color_activation in ("exp", "sigmoid", "clamped_exp")

@@ -224,12 +224,44 @@ def _coarse_dilate_radius(bound: float, grid_size: int,
     return max(1, int(np.ceil(max_span / n_probes / (2.0 * cell0))))
 
 
+def _probe_grid(nears, fars, n_probes: int, log_spacing: bool):
+    """Probe-interval grid over [near, far]: centers + interval widths.
+
+    Uniform (default): P equal intervals, spacing [N, 1].
+    Log (``log_spacing``): geometric edges e_i = near * g^i with
+    g = (far/near)^(1/P), centers at the geometric means — the
+    disparity-style placement for contracted/unbounded scenes, where
+    uniform-t probes would spend nearly all of P on the far field and
+    near-camera content would lose probe resolution entirely. This is
+    the probe analogue of the reference's geometrically growing
+    dt_gamma step schedule (raymarching.cu:396-401).
+
+    Returns (t [N, P] centers, spacing [N, 1 or P] widths,
+    base [N, 1], logg [N, 1]) — (base, logg) reconstruct the continuous
+    edge map e(x) = base * exp(logg * x) for the log grid (logg = 0
+    flags the uniform grid).
+    """
+    steps = jnp.arange(n_probes, dtype=jnp.float32)[None, :] + 0.5
+    if log_spacing:
+        base = jnp.maximum(nears, 1e-4 * fars)              # [N, 1]
+        logg = jnp.log(jnp.maximum(fars / base, 1.0 + 1e-6)) / n_probes
+        t = base * jnp.exp(logg * steps)                    # [N, P]
+        spacing = t * (jnp.exp(0.5 * logg)
+                       - jnp.exp(-0.5 * logg))              # [N, P]
+        return t, spacing, base, logg
+    spacing = (fars - nears) / n_probes                     # [N, 1]
+    t = nears + spacing * steps                             # [N, P]
+    return t, spacing, nears, jnp.zeros_like(nears)
+
+
 def _probe_occupancy(rays_o, rays_d, coarse_lin, nears, fars,
                      bound: float, contract: bool, grid_size: int,
-                     cascades: int, n_probes: int):
+                     cascades: int, n_probes: int,
+                     log_spacing: bool = False):
     """Per-ray probe-interval occupancy against the dilated coarse grid.
 
-    Splits [near, far] into ``n_probes`` uniform intervals, tests each
+    Splits [near, far] into ``n_probes`` intervals (uniform, or geometric
+    with ``log_spacing`` — see :func:`_probe_grid`), tests each
     interval's center with ONE gather at the probe's containing cascade.
     ``coarse_lin`` must come from :func:`coarse_occupancy` with the union
     fold (bound > 0): each cascade's volume already ORs in every other
@@ -241,12 +273,11 @@ def _probe_occupancy(rays_o, rays_d, coarse_lin, nears, fars,
     shell rendered black; tests/test_coarse_march.py::
     test_cascade0_shell_content_not_dropped guards it).
 
-    Returns (occ [N, P] bool, t [N, P] probe centers, spacing [N, 1]).
+    Returns (occ [N, P] bool, t [N, P] probe centers,
+    spacing [N, 1 or P]).
     """
     hc = grid_size // 4
-    spacing = (fars - nears) / n_probes                     # [N, 1]
-    steps = jnp.arange(n_probes, dtype=jnp.float32)[None, :] + 0.5
-    t = nears + spacing * steps                             # [N, P]
+    t, spacing, _, _ = _probe_grid(nears, fars, n_probes, log_spacing)
     pos = rays_o[:, None, :] + rays_d[:, None, :] * t[..., None]
     pos = jnp.clip(pos, -bound, bound)
     mag = jnp.max(jnp.abs(pos), axis=-1)                    # [N, P]
@@ -276,7 +307,7 @@ def _probe_occupancy(rays_o, rays_d, coarse_lin, nears, fars,
 
 def coarse_spans(rays_o, rays_d, coarse_lin, nears, fars, bound: float,
                  contract: bool, grid_size: int, cascades: int,
-                 n_probes: int):
+                 n_probes: int, log_spacing: bool = False):
     """Tightened per-ray [near, far] from coarse occupancy probes.
 
     The static-shape analogue of the reference's DDA empty-space skipping
@@ -284,14 +315,18 @@ def coarse_spans(rays_o, rays_d, coarse_lin, nears, fars, bound: float,
     a dilated coarse grid first and shrink the span the fine candidates
     cover. Rays with no coarse hit collapse to an empty span at `far`
     (the fine march's `t < far` guard then drops every candidate).
+    The one-interval safety margin is applied per probe (spacing may be
+    per-probe under ``log_spacing``) before the min/max reduction.
     """
     occ, t, spacing = _probe_occupancy(
         rays_o, rays_d, coarse_lin, nears, fars, bound, contract,
-        grid_size, cascades, n_probes)
-    tin = jnp.min(jnp.where(occ, t, jnp.inf), axis=1, keepdims=True)
-    tout = jnp.max(jnp.where(occ, t, -jnp.inf), axis=1, keepdims=True)
-    near2 = jnp.maximum(nears, tin - spacing)
-    far2 = jnp.minimum(fars, tout + spacing)
+        grid_size, cascades, n_probes, log_spacing)
+    tin = jnp.min(jnp.where(occ, t - spacing, jnp.inf),
+                  axis=1, keepdims=True)
+    tout = jnp.max(jnp.where(occ, t + spacing, -jnp.inf),
+                   axis=1, keepdims=True)
+    near2 = jnp.maximum(nears, tin)
+    far2 = jnp.minimum(fars, tout)
     empty = tin > tout
     near2 = jnp.where(empty, fars, near2)
     far2 = jnp.where(empty, fars, far2)
@@ -301,7 +336,8 @@ def coarse_spans(rays_o, rays_d, coarse_lin, nears, fars, bound: float,
 def cdf_candidates(rays_o, rays_d, coarse_lin, nears, fars, bound: float,
                    contract: bool, grid_size: int, cascades: int,
                    n_probes: int, num_candidates: int, jitter,
-                   dt_gamma: float = 0.0, max_steps: int = 1024):
+                   dt_gamma: float = 0.0, max_steps: int = 1024,
+                   log_spacing: bool = False, floor: float = 0.0):
     """Candidate times distributed over OCCUPIED probe intervals only.
 
     Where :func:`coarse_spans` tightens to one contiguous [tin, tout] —
@@ -329,6 +365,17 @@ def cdf_candidates(rays_o, rays_d, coarse_lin, nears, fars, bound: float,
     accumulates the cumulative-weight-before and the containing probe's
     weight in the same unrolled pass.
 
+    ``floor`` > 0 keeps an epsilon of candidate weight over UNOCCUPIED
+    intervals (each gets ``floor`` x its occupied-case weight). Pure
+    occupied-only placement can never sample an interval whose CENTER
+    probe missed off-center fine-occupied content (fog in
+    under-observed regions stays uncarved — the measured 5 dB held-out
+    gap vs the span march on contracted scenes, ROADMAP round-4
+    contract gates); the floor lets every interval self-heal at
+    ~floor/(1+floor) of the budget. The reference needs no analogue
+    because its DDA walks EVERY coarse cell boundary
+    (raymarching.cu:446-460) rather than point-probing centers.
+
     Returns (t_cand [N, S], dt): dt is [N, 1] (uniform weights) or
     [N, S] (dt_gamma > 0) — each candidate's Riemann width. Voids
     contribute no absorption (sigma = 0 there), matching the reference
@@ -338,11 +385,11 @@ def cdf_candidates(rays_o, rays_d, coarse_lin, nears, fars, bound: float,
     """
     occ, t_probe, spacing = _probe_occupancy(
         rays_o, rays_d, coarse_lin, nears, fars, bound, contract,
-        grid_size, cascades, n_probes)
+        grid_size, cascades, n_probes, log_spacing)
     S = num_candidates
     steps = jnp.arange(S, dtype=jnp.float32)[None, :]       # [1, S]
 
-    if dt_gamma <= 0.0:
+    if dt_gamma <= 0.0 and not log_spacing and floor <= 0.0:
         # per-ray inclusive cumulative probe-hit count, P-major (the
         # minor axis is the slow cumsum direction on TPU)
         Wt = jnp.cumsum(occ.astype(jnp.int32).T, axis=0)    # [P, N]
@@ -361,33 +408,51 @@ def cdf_candidates(rays_o, rays_d, coarse_lin, nears, fars, bound: float,
         dt = spacing * w / S                                # [N, 1]
         return t_cand, dt
 
-    sqrt3 = 1.7320508075688772
-    dt_min = 2.0 * sqrt3 / max_steps
-    dt_max = 2.0 * sqrt3 * (2.0 ** (cascades - 1)) / grid_size
-    dt_ref = jnp.clip(t_probe * dt_gamma, dt_min, dt_max)   # [N, P]
-    wv = jnp.where(occ, spacing / dt_ref, 0.0)              # steps needed
+    sp_full = jnp.broadcast_to(spacing, t_probe.shape)      # [N, P]
+    if dt_gamma > 0.0:
+        sqrt3 = 1.7320508075688772
+        dt_min = 2.0 * sqrt3 / max_steps
+        dt_max = 2.0 * sqrt3 * (2.0 ** (cascades - 1)) / grid_size
+        dt_ref = jnp.clip(t_probe * dt_gamma, dt_min, dt_max)  # [N, P]
+    else:
+        # log grid without dt_gamma: weight by interval LENGTH so the
+        # candidate distribution stays uniform-in-t over occupied space
+        # (identical semantics to the uniform-grid integer branch)
+        dt_ref = jnp.ones_like(t_probe)
+    wv = sp_full / dt_ref * jnp.where(occ, 1.0, floor)      # steps needed
     Wt = jnp.cumsum(wv.T, axis=0)                           # [P, N]
     w = Wt[-1][:, None]                                     # [N, 1] total
     u = (steps + jitter) * (w / S)                          # [N, S)
     p_idx = jnp.zeros(u.shape, jnp.int32)
     cw_before = jnp.zeros(u.shape, jnp.float32)             # weight < probe
     w_at = jnp.zeros(u.shape, jnp.float32)                  # containing w
+    sp_at = jnp.zeros(u.shape, jnp.float32)                 # containing len
     for p in range(n_probes):
         wt_p = Wt[p][:, None]                               # incl. cumweight
         wv_p = wv.T[p][:, None]                             # probe weight
         before = wt_p <= u
+        contains = (wt_p > u) & (wt_p - wv_p <= u)
         p_idx = p_idx + before.astype(jnp.int32)
         cw_before = cw_before + jnp.where(before, wv_p, 0.0)
-        w_at = w_at + jnp.where(
-            (wt_p > u) & (wt_p - wv_p <= u), wv_p, 0.0)
+        w_at = w_at + jnp.where(contains, wv_p, 0.0)
+        sp_at = sp_at + jnp.where(contains, sp_full.T[p][:, None], 0.0)
     frac = jnp.clip((u - cw_before) / jnp.maximum(w_at, 1e-12),
                     0.0, 1.0 - 1e-6)
-    t_cand = nears + (p_idx.astype(jnp.float32) + frac) * spacing
-    # local candidate density in probe p is (S/w)/dt_ref_p; each
-    # candidate's width is its inverse. w_at = spacing/dt_ref_p for the
-    # containing probe, so dt = spacing*w/(S*w_at) = dt_ref_p * w/S.
+    if log_spacing:
+        # edge e_p = base * exp(logg * p); LINEAR placement within the
+        # interval (the CDF weight density is constant per unit t inside
+        # a probe): t = e_p + frac * (e_{p+1} - e_p)
+        base = jnp.maximum(nears, 1e-4 * fars)
+        logg = jnp.log(jnp.maximum(fars / base, 1.0 + 1e-6)) / n_probes
+        e_p = base * jnp.exp(logg * p_idx.astype(jnp.float32))
+        t_cand = e_p * (1.0 + frac * jnp.expm1(logg))
+    else:
+        t_cand = nears + (p_idx.astype(jnp.float32) + frac) * spacing
+    # local candidate density in probe p is (S/w) * wv_p / spacing_p;
+    # each candidate's Riemann width is its inverse:
+    # dt = spacing_p * w / (S * wv_p) = dt_ref_p * w/S.
     dt = jnp.where(w_at > 0.0,
-                   spacing * w / (S * jnp.maximum(w_at, 1e-12)), 0.0)
+                   sp_at * w / (S * jnp.maximum(w_at, 1e-12)), 0.0)
     return t_cand, dt
 
 
@@ -411,6 +476,10 @@ def march_rays(
                                 # boundaries but costs ~2.2 ms/step
                                 # rebuilt in-graph, so the Trainer caches
                                 # it per refresh interval
+    probe_log: bool = False,    # geometric probe intervals (contracted/
+                                # unbounded scenes; see _probe_grid)
+    cdf_floor: float = 0.0,     # epsilon candidate weight over unoccupied
+                                # probe intervals (see cdf_candidates)
 ):
     """Candidate -> mask -> compact marching. Returns dict with
     ts [N, K], deltas [N, K], mask [N, K] (valid samples)."""
@@ -433,11 +502,13 @@ def march_rays(
             t_cand, dt = cdf_candidates(
                 rays_o, rays_d, coarse_lin, nears, fars, bound, contract,
                 grid_size, cascades, coarse_probes, S, jitter,
-                dt_gamma=dt_gamma, max_steps=max_steps)
+                dt_gamma=dt_gamma, max_steps=max_steps,
+                log_spacing=probe_log, floor=cdf_floor)
         else:
             nears, fars = coarse_spans(
                 rays_o, rays_d, coarse_lin, nears, fars, bound, contract,
-                grid_size, cascades, coarse_probes)
+                grid_size, cascades, coarse_probes,
+                log_spacing=probe_log)
 
     span = (fars - nears)                                   # [N, 1]
     steps = jnp.arange(S, dtype=jnp.float32)[None, :]       # [1, S]
@@ -758,7 +829,9 @@ def render_occupancy(
                    coarse_probes=cfg.render.coarse_probes,
                    march_cdf=cfg.render.march_cdf,
                    max_steps=cfg.render.max_steps,
-                   coarse_lin=coarse_lin)
+                   coarse_lin=coarse_lin,
+                   probe_log=cfg.render.probe_log,
+                   cdf_floor=cfg.render.cdf_floor)
     ts, deltas, mask = m["ts"], m["deltas"], m["mask"]
     mask = mask & ~miss
 

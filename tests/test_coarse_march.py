@@ -449,3 +449,175 @@ def test_contracted_probes_skip_empty_outer_cells():
     # the content itself stays detectable on every ray
     near_content = np.abs(x) < 0.2
     assert (occ & near_content).any(axis=1).all()
+
+
+def test_probe_grid_log_edges():
+    """Log probe grid: edges geometric from near to far, spacing equals
+    the edge differences, centers are the geometric means."""
+    from raw_ngp_tpu.render.occupancy import _probe_grid
+    P = 16
+    nears = jnp.array([[0.05], [0.5]])
+    fars = jnp.array([[50.0], [8.0]])
+    t, sp, base, logg = _probe_grid(nears, fars, P, True)
+    t, sp = np.asarray(t), np.asarray(sp)
+    base, logg = np.asarray(base), np.asarray(logg)
+    e = base * np.exp(logg * np.arange(P + 1)[None, :])     # [N, P+1]
+    np.testing.assert_allclose(e[:, 0:1], np.asarray(nears), rtol=1e-5)
+    np.testing.assert_allclose(e[:, -1:], np.asarray(fars), rtol=1e-5)
+    np.testing.assert_allclose(sp, e[:, 1:] - e[:, :-1], rtol=1e-5)
+    np.testing.assert_allclose(t, np.sqrt(e[:, 1:] * e[:, :-1]),
+                               rtol=1e-5)
+    # uniform grid still returns logg = 0 and [N, 1] spacing
+    t_u, sp_u, _, logg_u = _probe_grid(nears, fars, P, False)
+    assert np.asarray(logg_u).max() == 0.0 and sp_u.shape == (2, 1)
+
+
+def test_log_cdf_candidates_in_occupied_intervals():
+    """log_spacing CDF: candidates land only in occupied LOG intervals
+    and the dt widths integrate to the occupied length (uniform-in-t
+    weights when dt_gamma = 0)."""
+    gs, bound, P, S = 32, 1.0, 32, 128
+    bitfield = _two_slab_scene(gs)
+    N = 64
+    ro = jnp.stack([jnp.full((N,), -0.9),
+                    jnp.linspace(-0.7, 0.7, N),
+                    jnp.linspace(0.7, -0.7, N)], axis=-1)
+    rd = jnp.tile(jnp.array([[1.0, 0.0, 0.0]]), (N, 1))
+    nears = jnp.full((N, 1), 0.05)
+    fars = jnp.full((N, 1), 2.5)
+
+    from raw_ngp_tpu.render.occupancy import (
+        cdf_candidates, coarse_occupancy, _coarse_dilate_radius,
+        _probe_occupancy, _probe_grid)
+    r = _coarse_dilate_radius(bound, gs, P)
+    coarse = coarse_occupancy(bitfield, gs, 1, r, bound=bound)
+    t_cand, dt = cdf_candidates(ro, rd, coarse, nears, fars, bound,
+                                False, gs, 1, P, S, 0.5,
+                                log_spacing=True)
+    t_cand, dt = np.asarray(t_cand), np.asarray(dt)
+
+    occ, _, sp = _probe_occupancy(ro, rd, coarse, nears, fars, bound,
+                                  False, gs, 1, P, log_spacing=True)
+    occ, sp = np.asarray(occ), np.asarray(sp)
+    _, _, base, logg = _probe_grid(nears, fars, P, True)
+    base, logg = np.asarray(base), np.asarray(logg)
+
+    live = t_cand < np.asarray(fars) - 1e-6
+    # containing log interval of each candidate
+    p_of = np.clip((np.log(np.maximum(t_cand, 1e-12) / base)
+                    / logg).astype(int), 0, P - 1)
+    hit_occ = np.take_along_axis(occ, p_of, axis=1)
+    assert hit_occ[live].all(), "log-CDF candidate in an empty interval"
+
+    # dt integrates the occupied length: sum over candidates of dt ==
+    # total occupied interval length (every candidate carries w/S of it)
+    occ_len = (occ * sp).sum(axis=1)
+    np.testing.assert_allclose(dt.sum(axis=1)[occ_len > 0],
+                               occ_len[occ_len > 0], rtol=1e-3)
+
+
+def test_log_coarse_spans_conservative():
+    """Span tightening with log probes never loses an occupied fine
+    sample (same contract as the uniform test, geometric intervals)."""
+    gs, cascades, bound, P = 32, 2, 2.0, 64
+    key = jax.random.PRNGKey(5)
+    bitfield, _ = _random_bitfield(jax.random.fold_in(key, 1),
+                                   grid_size=gs, cascades=cascades)
+    N = 256
+    ro, rd = _rand_rays(jax.random.fold_in(key, 2), N, bound)
+    nears = jnp.full((N, 1), 0.05)
+    fars = jnp.full((N, 1), 2.0 * np.sqrt(3.0) * bound)
+
+    m_full = march_rays(ro, rd, bitfield, nears, fars, bound, False, gs,
+                        cascades, 512, 128)
+    ts = np.asarray(m_full["ts"])
+    mask = np.asarray(m_full["mask"])
+
+    r = _coarse_dilate_radius(bound, gs, P)
+    coarse = coarse_occupancy(bitfield, gs, cascades, r, bound=bound)
+    near2, far2 = coarse_spans(ro, rd, coarse, nears, fars, bound, False,
+                               gs, cascades, P, log_spacing=True)
+    near2, far2 = np.asarray(near2), np.asarray(far2)
+    assert (near2 >= np.asarray(nears) - 1e-6).all()
+    assert (far2 <= np.asarray(fars) + 1e-6).all()
+    slop = float(fars[0, 0] - nears[0, 0]) / 512
+    kept_in = ((ts >= near2 - slop) & (ts <= far2 + slop)) | ~mask
+    assert kept_in.all(), (
+        f"{(~kept_in).sum()} occupied samples escaped the log span")
+
+
+@pytest.mark.parametrize("log_spacing", [False, True])
+def test_cdf_floor_keeps_void_coverage(log_spacing):
+    """cdf_floor > 0: unoccupied intervals still receive ~floor/(1+floor)
+    -scaled candidate coverage (free-space supervision for contracted
+    scenes), dt widths tile the FULL sampled support, and floor=0 keeps
+    the pure occupied-only distribution."""
+    gs, bound, P, S = 32, 1.0, 32, 256
+    floor = 0.25
+    bitfield = _two_slab_scene(gs)
+    N = 64
+    ro = jnp.stack([jnp.full((N,), -0.9),
+                    jnp.linspace(-0.7, 0.7, N),
+                    jnp.linspace(0.7, -0.7, N)], axis=-1)
+    rd = jnp.tile(jnp.array([[1.0, 0.0, 0.0]]), (N, 1))
+    nears = jnp.full((N, 1), 0.05)
+    fars = jnp.full((N, 1), 2.5)
+
+    from raw_ngp_tpu.render.occupancy import (
+        cdf_candidates, coarse_occupancy, _coarse_dilate_radius,
+        _probe_occupancy, _probe_grid)
+    r = _coarse_dilate_radius(bound, gs, P)
+    coarse = coarse_occupancy(bitfield, gs, 1, r, bound=bound)
+    t_f, dt_f = cdf_candidates(ro, rd, coarse, nears, fars, bound,
+                               False, gs, 1, P, S, 0.5,
+                               log_spacing=log_spacing, floor=floor)
+    t_f, dt_f = np.asarray(t_f), np.asarray(dt_f)
+
+    occ, _, sp = _probe_occupancy(ro, rd, coarse, nears, fars, bound,
+                                  False, gs, 1, P,
+                                  log_spacing=log_spacing)
+    occ = np.asarray(occ)
+    sp = np.broadcast_to(np.asarray(sp), occ.shape)
+    _, _, base, logg = _probe_grid(nears, fars, P, log_spacing)
+    base, logg = np.asarray(base), np.asarray(logg)
+
+    # containing interval of each candidate
+    if log_spacing:
+        p_of = np.clip((np.log(np.maximum(t_f, 1e-12) / base)
+                        / logg).astype(int), 0, P - 1)
+    else:
+        span_sp = np.asarray(sp)[:, 0:1]
+        p_of = np.clip(((t_f - np.asarray(nears)) / span_sp).astype(int),
+                       0, P - 1)
+    in_occ = np.take_along_axis(occ, p_of, axis=1)
+
+    # expected void fraction: floor*L_unocc / (L_occ + floor*L_unocc)
+    # (uniform weights; dt_gamma = 0)
+    L_occ = (occ * sp).sum(axis=1)
+    L_un = ((~occ) * sp).sum(axis=1)
+    frac_expect = floor * L_un / (L_occ + floor * L_un)
+    frac_got = 1.0 - in_occ.mean(axis=1)
+    rows = L_occ > 0
+    np.testing.assert_allclose(frac_got[rows], frac_expect[rows],
+                               atol=0.05)
+
+    # dt tiles the full weighted support: sum dt == L_occ + L_unocc
+    # (every interval has weight when floor > 0; per-interval candidate
+    # counts are floor/ceil of S*wv_p/w, so the tiling is exact only up
+    # to ~P/S discretization)
+    np.testing.assert_allclose(dt_f.sum(axis=1)[rows],
+                               (L_occ + L_un)[rows], rtol=0.02)
+
+    # floor=0 stays pure occupied-only
+    t_0, _ = cdf_candidates(ro, rd, coarse, nears, fars, bound,
+                            False, gs, 1, P, S, 0.5,
+                            log_spacing=log_spacing, floor=0.0)
+    t_0 = np.asarray(t_0)
+    if log_spacing:
+        p0 = np.clip((np.log(np.maximum(t_0, 1e-12) / base)
+                      / logg).astype(int), 0, P - 1)
+    else:
+        p0 = np.clip(((t_0 - np.asarray(nears)) / span_sp).astype(int),
+                     0, P - 1)
+    live0 = t_0 < np.asarray(fars) - 1e-6
+    assert np.take_along_axis(occ, p0, axis=1)[live0].all()

@@ -106,10 +106,13 @@ def run_scene(cfg, train_scene, val_scene, workspace):
     # per dispatch at the num_rays actually in effect (trainer.py train())
     rays_per_sec = res["rays_per_sec"]
     ms_per_step = res["wall_time"] / iters * 1e3
-    # live samples actually evaluated by the field per step (trainer EMA
-    # of the compaction count) vs the K-candidate upper bound.
+    # live samples actually evaluated by the field per step vs the
+    # K-candidate upper bound. The trainer EMA now tracks the RAW demand
+    # (pre budget-decimation), so evaluated = min(demand, point budget).
     # None (not NaN) when adaptive batching is off: NaN is not valid JSON
-    live_pts = float(tr._pts_ema) if tr._pts_ema is not None else None
+    budget_now = tr._point_budget or tr.base_point_budget()
+    live_pts = (min(float(tr._pts_ema), float(budget_now))
+                if tr._pts_ema is not None else None)
     steps_per_sec = rays_per_sec / tr.num_rays
     live_points_per_sec = (steps_per_sec * live_pts
                            if live_pts is not None else None)

@@ -105,6 +105,8 @@ def make_parallel_train_step(cfg: Config, spec: FieldSpec, net_tx, pose_tx,
             pose_opt_state=new_pose_opt)
         metrics = {"loss": loss,
                    "num_points": jax.lax.psum(aux["num_points"], axis),
+                   "num_points_raw": jax.lax.psum(
+                       aux.get("num_points_raw", aux["num_points"]), axis),
                    "weights_sum": jax.lax.pmean(aux["weights_sum"], axis)}
         return new_state, metrics
 

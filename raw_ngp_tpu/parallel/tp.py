@@ -184,6 +184,9 @@ def make_tp_train_step(cfg: Config, spec: FieldSpec, net_tx, pose_tx,
             pose_opt_state=new_pose_opt)
         metrics = {"loss": loss,
                    "num_points": jax.lax.psum(aux["num_points"], dp_axis),
+                   "num_points_raw": jax.lax.psum(
+                       aux.get("num_points_raw", aux["num_points"]),
+                       dp_axis),
                    "weights_sum": jax.lax.pmean(aux["weights_sum"],
                                                 dp_axis)}
         return new_state, metrics

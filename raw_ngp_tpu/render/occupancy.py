@@ -855,6 +855,7 @@ def render_occupancy(
     # the no-compact path and the orientation loss)
     dirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
     dirs_nk = jnp.broadcast_to(dirs[:, None, :], (N, K, 3))
+    raw_pts = None    # pre-decimation live-sample DEMAND (ratio > 0 only)
     ld_nk = None
     if rays_ldir is not None:
         ld_nk = jnp.broadcast_to(rays_ldir[:, None, :], (N, K, 3))
@@ -877,6 +878,7 @@ def render_occupancy(
         # the reference instead shrinks next step's ray count); tail
         # truncation only remains as a backstop for rounding overflow
         valid_total = mask.sum()
+        raw_pts = valid_total    # pre-decimation DEMAND (see num_points_raw)
         stride = jnp.maximum((valid_total + m_pad - 1) // m_pad, 1)
         k_idx = jnp.cumsum(mask.astype(jnp.int32).T, axis=0).T - 1
         mask = mask & ((k_idx % stride) == 0)
@@ -949,6 +951,7 @@ def render_occupancy(
             results = {}
             if training:
                 results["num_points"] = mask.sum()
+                results["num_points_raw"] = raw_pts
             image = composite_with_background(
                 out["image"], out["weights_sum"], bg_color)
             results["weights_sum"] = out["weights_sum"]
@@ -978,6 +981,15 @@ def render_occupancy(
     results: Dict[str, jnp.ndarray] = {}
     if training:
         results["num_points"] = mask.sum()
+        # num_points counts EVALUATED samples (post budget decimation /
+        # compaction truncation) and is therefore clamped at the point
+        # budget; num_points_raw is the unclamped DEMAND the march
+        # produced, which the Trainer's adaptive batching must see to
+        # track the falling-occupancy trend through the saturated zone
+        # (a budget-pinned EMA looks flat and quiescent while the grid
+        # is still pruning — round-5 sparse-scene bench finding)
+        results["num_points_raw"] = (raw_pts if raw_pts is not None
+                                     else results["num_points"])
         results["weights"] = out["weights"]
         if cfg.train.lambda_orientation > 0:
             # Ref-NeRF orientation loss (renderer.py:558-571)

@@ -293,6 +293,8 @@ def make_batch_loss_fn(cfg: Config, spec: FieldSpec):
                 params["grid"], spec.grid_spec)
 
         aux = {"num_points": out.get("num_points", 0),
+               "num_points_raw": out.get("num_points_raw",
+                                         out.get("num_points", 0)),
                "weights_sum": out["weights_sum"].mean()}
         return loss, aux
 
@@ -707,7 +709,13 @@ class Trainer:
           in between.
         """
         cfg = self.cfg
-        pts = float(jax.device_get(metrics["num_points"]))
+        # the EMA tracks the RAW demand, not the budget-clamped evaluated
+        # count: a saturated buffer pins the clamped count at exactly the
+        # budget, which hides the falling-occupancy trend from the growth
+        # trigger and from adaptation_quiescent() (the round-5 sparse
+        # bench timed a pre-growth window because of exactly this)
+        pts = float(jax.device_get(
+            metrics.get("num_points_raw", metrics["num_points"])))
         self._pts_ema = (pts if self._pts_ema is None
                          else 0.7 * self._pts_ema + 0.3 * pts)
         base_budget = self.base_point_budget()

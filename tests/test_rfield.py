@@ -47,3 +47,31 @@ def test_rfield_training_uses_light_dirs(tmp_path):
     diff = np.abs(rgb_a - rgb_b).mean()
     print(f"relighting mean |diff| = {diff:.4f}")
     assert diff > 0.005
+
+
+def test_rfield_grid_scene_heldout_lights_disjoint():
+    """make_rfield_grid_scene: VxL train pairs, val lights never appear
+    at train, all light dirs unit, val poses are train poses (held-out
+    is BY LIGHT, isolating relighting generalization)."""
+    from raw_ngp_tpu.data import make_rfield_grid_scene
+    tr, va = make_rfield_grid_scene(n_views=4, n_lights=5,
+                                    n_heldout_lights=3, n_val_views=2,
+                                    H=32, W=32, textured=True)
+    assert tr.images.shape == (4 * 5, 32, 32, 3)
+    assert va.images.shape == (2 * 3, 32, 32, 3)
+    np.testing.assert_allclose(np.linalg.norm(tr.ldirs, axis=-1), 1.0,
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.linalg.norm(va.ldirs, axis=-1), 1.0,
+                               rtol=1e-5)
+    # disjoint light sets
+    d = np.linalg.norm(tr.ldirs[:, None] - va.ldirs[None], axis=-1)
+    assert d.min() > 1e-3, "a held-out light appears in the train set"
+    # held-out lights interpolate the train polar band (no extrapolation)
+    assert va.ldirs[:, 2].min() >= tr.ldirs[:, 2].min() - 1e-6
+    assert va.ldirs[:, 2].max() <= tr.ldirs[:, 2].max() + 1e-6
+    # val poses drawn from the train pose set
+    dp = np.linalg.norm(
+        tr.poses[:, None] - va.poses[None], axis=(-2, -1))
+    assert (dp.min(axis=0) < 1e-6).all()
+    # different lights produce different images of the same view
+    assert np.abs(tr.images[0] - tr.images[1]).mean() > 1e-3

@@ -220,3 +220,29 @@ def test_fused_adam_ema_matches_optax_chain():
                                   np.asarray(f_state.nu["a"]))
     assert int(s3.count) == int(f_state.count) + 1
     assert np.all(np.isfinite(np.asarray(e3["a"])))
+
+
+def test_pts_ema_tracks_raw_demand_through_saturation(tmp_path):
+    """The adaptation EMA must meter the RAW (pre budget-decimation)
+    live-sample demand: a saturated point buffer pins the evaluated
+    count at exactly the budget, which hides the falling-occupancy
+    trend from the growth trigger and adaptation_quiescent() (round-5
+    sparse-scene bench opened its timed window pre-growth because of
+    this). With a FULL density grid the march demand is ~num_rays *
+    samples_per_ray, far above the compact budget."""
+    cfg = tiny_cfg(update_extra_interval=4, compact_ratio=0.25)
+    cfg = replace(cfg, train=replace(cfg.train, adaptive_num_rays=True))
+    ts, vs = make_synthetic_scene(n_train=4, n_val=1, H=16, W=16)
+    tr = Trainer(cfg, ts, vs, workspace=str(tmp_path))
+    # saturate: every grid cell occupied, and keep it that way
+    tr.state = tr.state.replace(
+        density_bitfield=jnp.full_like(tr.state.density_bitfield, 255))
+    tr.host_grid_updates = 20
+    tr._grid_update = lambda state, it: state
+    # the adapt call runs on interval boundaries from a one-interval
+    # stash, so cover >= 3 boundaries
+    tr.train(iters=16, log_every=16)
+    budget = tr._point_budget or tr.base_point_budget()
+    # demand visible through the clamp: EMA well above the buffer size
+    assert tr._pts_ema is not None and tr._pts_ema > 1.5 * budget, \
+        (tr._pts_ema, budget)

@@ -37,7 +37,9 @@ def run_variant(march_candidates: int, coarse_probes: int,
                 sphere_scale: float = 1.0,
                 max_num_rays: int = 0,
                 dt_gamma: float = 0.0,
-                contract: bool = False):
+                contract: bool = False,
+                probe_log: bool = False,
+                cdf_floor: float = 0.0):
     # NOTE: both the warmup and the timed window must be MULTIPLES of the
     # scan-dispatch chunk (update_extra_interval = 16): a remainder would
     # compile the single-step executable inside the timed window (~45 s
@@ -86,11 +88,19 @@ def run_variant(march_candidates: int, coarse_probes: int,
             contract=contract or cfg.render.contract,
             bound=2.0 if contract else cfg.render.bound,
             mark_untrained=False if contract else cfg.render.mark_untrained))
+    if probe_log or cdf_floor:
+        # round-5 contracted mitigations: geometric probe intervals and
+        # the CDF epsilon floor (free-space supervision in center-missed
+        # intervals) — see render/occupancy.cdf_candidates
+        cfg = replace(cfg, render=replace(
+            cfg.render, probe_log=probe_log, cdf_floor=cdf_floor))
     cfg = cfg.validate()
     train_scene, val_scene = make_synthetic_scene(
         n_train=36, n_val=2, H=128, W=128, sphere_scale=sphere_scale)
     tag = (f"{march_candidates}_{coarse_probes}"
            f"{'_cdf' if march_cdf else ''}"
+           f"{'_log' if probe_log else ''}"
+           f"{f'_f{cdf_floor}' if cdf_floor else ''}"
            f"{f'_L{num_levels}C{level_dim}' if num_levels else ''}"
            f"{f'_K{samples_per_ray}' if samples_per_ray else ''}"
            f"{f'_pf{grid_partial_fraction}' if grid_partial_fraction else ''}")
@@ -149,13 +159,18 @@ def main():
     for v in args.variants:
         toks = v.split(":")
         cdf = "cdf" in toks
+        plog = "log" in toks
         K = next((int(t[1:]) for t in toks
                   if t.startswith("k") and t != "cdf"), 0)
         pf = next((float(t[2:]) for t in toks if t.startswith("pf")), 0.0)
+        fl = next((float(t[1:]) for t in toks
+                   if t.startswith("f") and len(t) > 1
+                   and t[1] in "0123456789."), 0.0)
         ratio = next((float(t[1:]) for t in toks
                       if t.startswith("r") and not t.startswith("pf")), 0.0)
         parts = [int(t) for t in toks
-                 if t not in ("cdf",) and not t.startswith(("k", "r", "pf"))]
+                 if t not in ("cdf", "log")
+                 and not t.startswith(("k", "r", "pf", "f"))]
         mc, cp = parts[0], parts[1]
         L, C = (parts[2], parts[3]) if len(parts) > 2 else (0, 0)
         t0 = time.time()
@@ -165,7 +180,12 @@ def main():
                           iters=args.iters, timed=args.timed,
                           sphere_scale=args.sphere_scale,
                           max_num_rays=args.max_num_rays,
-                          dt_gamma=args.dt_gamma, contract=args.contract)
+                          dt_gamma=args.dt_gamma, contract=args.contract,
+                          probe_log=plog, cdf_floor=fl)
+        if plog:
+            rec["probe_log"] = True
+        if fl:
+            rec["cdf_floor"] = fl
         if pf:
             rec["grid_partial_fraction"] = pf
         if K:

@@ -37,6 +37,11 @@ def main():
     ap.add_argument("--rfield", action="store_true",
                     help="per-image light directions -> reflectance-"
                          "field conditioning (SH(ldir) concat)")
+    ap.add_argument("--rfield_grid", default="",
+                    help="V:L dense view x light grid with held-out "
+                         "LIGHTS (e.g. 16:16) — held-out PSNR then "
+                         "isolates relighting generalization "
+                         "(VERDICT r4 #4); implies --rfield")
     ap.add_argument("--eps", type=float, default=0.0,
                     help="override train.adam_eps (stability ladder A/Bs)")
     ap.add_argument("--lr", type=float, default=0.0,
@@ -53,6 +58,12 @@ def main():
     ap.add_argument("--march", default="",
                     help="override march shape, mc:cp[:cdf] "
                          "(e.g. 128:32:cdf)")
+    ap.add_argument("--contract", action="store_true",
+                    help="contracted/unbounded regime: bound=2, MeRF "
+                         "contraction, dt_gamma 0.0078 (the reference's "
+                         "-O2 territory)")
+    ap.add_argument("--probe_log", action="store_true")
+    ap.add_argument("--cdf_floor", type=float, default=0.0)
     ap.add_argument("--out", default="/tmp/quality_run.json")
     args = ap.parse_args()
 
@@ -82,7 +93,7 @@ def main():
         cfg = replace(cfg, data=replace(cfg.data, image_mode="HDR"),
                       model=replace(cfg.model,
                                     color_activation="clamped_exp"))
-    if args.rfield:
+    if args.rfield or args.rfield_grid:
         cfg = replace(cfg, model=replace(cfg.model, rfield=True))
     if args.march:
         toks = args.march.split(":")
@@ -91,10 +102,25 @@ def main():
         cfg = replace(cfg, render=replace(
             cfg.render, march_candidates=mc, coarse_probes=cp,
             march_cdf=cdf))
+    if args.contract:
+        cfg = replace(cfg, render=replace(
+            cfg.render, contract=True, bound=2.0, dt_gamma=0.0078,
+            mark_untrained=False))
+    if args.probe_log or args.cdf_floor:
+        cfg = replace(cfg, render=replace(
+            cfg.render, probe_log=args.probe_log,
+            cdf_floor=args.cdf_floor))
     cfg = cfg.validate()
-    train_scene, val_scene = make_synthetic_scene(
-        n_train=36, n_val=2, H=args.res, W=args.res,
-        textured=args.textured, hdr=args.hdr, rfield=args.rfield)
+    if args.rfield_grid:
+        from raw_ngp_tpu.data import make_rfield_grid_scene
+        v, l = (int(x) for x in args.rfield_grid.split(":"))
+        train_scene, val_scene = make_rfield_grid_scene(
+            n_views=v, n_lights=l, H=args.res, W=args.res,
+            textured=args.textured)
+    else:
+        train_scene, val_scene = make_synthetic_scene(
+            n_train=36, n_val=2, H=args.res, W=args.res,
+            textured=args.textured, hdr=args.hdr, rfield=args.rfield)
     tr = Trainer(cfg, train_scene, val_scene, workspace="/tmp/quality_ws")
 
     curve = []

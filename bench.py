@@ -64,6 +64,15 @@ def run_scene(cfg, train_scene, val_scene, workspace):
     # trainer reports no adaptation within margin of firing, AND (c) the
     # EMA itself has PLATEAUED (<3% move over the last 3 intervals);
     # hard cap so a never-settling config still terminates (flagged).
+    # ... AND (d) a minimum settle horizon: the sparse scene's raw demand
+    # PLATEAUS above the budget until the occupancy prune cliff (~step
+    # 400-670) collapses per-ray demand ~7x and growth fires — an
+    # instantaneous trend check cannot see a delayed cliff, so the
+    # round-5 sparse window once opened at step 384 in a local plateau
+    # (8192 rays) when the true steady state is 32768 (ROADMAP round-4
+    # sparse section). 24 intervals puts the earliest window opening at
+    # step 672, the perf_sweep horizon where that steady state was
+    # measured.
     stable = settled = 0
     ema_hist = []
     while settled < 90:
@@ -78,7 +87,8 @@ def run_scene(cfg, train_scene, val_scene, workspace):
                     and ema_hist[-1] is not None
                     and abs(ema_hist[-1] - ema_hist[-4])
                     <= 0.03 * ema_hist[-1])
-        if stable >= 6 and ema_flat and tr.adaptation_quiescent():
+        if settled >= 24 and stable >= 6 and ema_flat \
+                and tr.adaptation_quiescent():
             break
     settle_capped = settled >= 90
 
@@ -175,35 +185,41 @@ def main():
     cfg = replace(cfg, train=replace(cfg.train, fp16=True, num_rays=8192))
     cfg = cfg.validate()
 
-    train_scene, val_scene = make_synthetic_scene(
-        n_train=36, n_val=2, H=128, W=128)
-    flagship = run_scene(cfg, train_scene, val_scene, "/tmp/bench_ws")
+    scenes = os.environ.get("RAW_NGP_BENCH_SCENES", "both")
+    flagship = None
+    if scenes != "sparse":
+        train_scene, val_scene = make_synthetic_scene(
+            n_train=36, n_val=2, H=128, W=128)
+        flagship = run_scene(cfg, train_scene, val_scene, "/tmp/bench_ws")
 
-    extra = dict(flagship)
-    extra.pop("rays_per_sec")
-    extra.pop("vs_baseline")
-    # floor raised 27 -> 31 after the round-4 20k-schedule runs
-    # (bench-horizon train-view measured 33.99-36.24 across round-4
-    # configurations; a drop below 31 means a real training/rendering
-    # regression, not noise)
-    extra["psnr_trainview_floor"] = 31.0
+    extra = {}
+    if flagship is not None:
+        extra = dict(flagship)
+        extra.pop("rays_per_sec")
+        extra.pop("vs_baseline")
+        # floor raised 27 -> 31 after the round-4 20k-schedule runs
+        # (bench-horizon train-view measured 33.99-36.24 across round-4
+        # configurations; a drop below 31 means a real training/rendering
+        # regression, not noise)
+        extra["psnr_trainview_floor"] = 31.0
     extra["backend"] = jax.default_backend()
 
     # sparse scene: occupancy prunes enough that adaptive growth reaches
     # 32768 rays at the same 2^18 budget — the regime where one chip
     # exceeds the 5e5 target (ROADMAP round-4 sparse-scene section)
-    if os.environ.get("RAW_NGP_BENCH_SCENES", "both") != "flagship":
+    if scenes != "flagship":
         cfg_s = replace(cfg, train=replace(cfg.train, max_num_rays=32768))
         tr_s, va_s = make_synthetic_scene(
             n_train=36, n_val=2, H=128, W=128, sphere_scale=0.35)
         extra["sparse_scene"] = run_scene(cfg_s, tr_s, va_s,
                                           "/tmp/bench_ws_sparse")
 
+    head = flagship if flagship is not None else extra["sparse_scene"]
     result = {
         "metric": "train_rays_per_sec",
-        "value": flagship["rays_per_sec"],
+        "value": head["rays_per_sec"],
         "unit": "rays/s",
-        "vs_baseline": flagship["vs_baseline"],
+        "vs_baseline": head["vs_baseline"],
         "extra": extra,
     }
     print(json.dumps(result))
